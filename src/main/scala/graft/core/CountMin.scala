@@ -1,0 +1,103 @@
+package graft.core
+
+import java.nio.ByteBuffer
+
+/** Count-Min sketch, implemented from the published algorithm
+  * (Cormode & Muthukrishnan 2005). `depth` rows x `width` counters;
+  * row hashes derived from one 128-bit hash (Kirsch-Mitzenmacher).
+  * Merge = element-wise add: associative and commutative, so serialized
+  * bytes are identical under arbitrary partition merge orderings.
+  *
+  * Guarantees (N = total added count):
+  *   true <= estimate              (never under-estimates)
+  *   estimate <= true + eps * N    with prob >= 1 - delta,
+  * where eps = e / width and delta = e^(-depth).
+  */
+final class Cms(val depth: Int, val width: Int, val seed: Long) extends Serializable {
+  require(depth >= 1 && depth <= 16, s"depth must be in [1,16], got $depth")
+  require(width >= 8, s"width must be >= 8, got $width")
+
+  private[core] val table: Array[Long] = new Array[Long](depth * width)
+  var total: Long = 0L
+
+  @inline private def idx(h: Hash128.H, row: Int): Int = {
+    val hr = h.derived(row + 1)
+    // non-negative mod
+    val m = (hr % width).toInt
+    row * width + (if (m < 0) m + width else m)
+  }
+
+  def addHash(h: Hash128.H, count: Long): Unit = {
+    var r = 0
+    while (r < depth) {
+      table(idx(h, r)) += count
+      r += 1
+    }
+    total += count
+  }
+
+  def add(key: String, count: Long = 1L): Unit = addHash(Hash128.hashString(key, seed), count)
+  def add(key: Long, count: Long): Unit = addHash(Hash128.hashLong(key, seed), count)
+
+  def estimateHash(h: Hash128.H): Long = {
+    var min = Long.MaxValue
+    var r = 0
+    while (r < depth) {
+      val v = table(idx(h, r))
+      if (v < min) min = v
+      r += 1
+    }
+    min
+  }
+
+  def estimate(key: String): Long = estimateHash(Hash128.hashString(key, seed))
+  def estimate(key: Long): Long = estimateHash(Hash128.hashLong(key, seed))
+
+  def merge(other: Cms): Cms = {
+    require(depth == other.depth && width == other.width && seed == other.seed,
+      "cannot merge CMS with different parameters")
+    var i = 0
+    while (i < table.length) { table(i) += other.table(i); i += 1 }
+    total += other.total
+    this
+  }
+
+  def eps: Double = math.E / width
+  def delta: Double = math.exp(-depth.toDouble)
+
+  def toBytes: Array[Byte] = {
+    val buf = ByteBuffer.allocate(4 + 4 + 4 + 8 + 8 + 8 * table.length)
+    buf.putInt(Cms.MAGIC)
+    buf.putInt(depth)
+    buf.putInt(width)
+    buf.putLong(seed)
+    buf.putLong(total)
+    var i = 0
+    while (i < table.length) { buf.putLong(table(i)); i += 1 }
+    buf.array()
+  }
+}
+
+object Cms {
+  val MAGIC: Int = 0x434d5331 // "CMS1"
+  val DefaultDepth = 7        // delta ~= 9.1e-4
+  val DefaultWidth = 4096     // eps ~= 6.6e-4
+  val DefaultSeed = 42L
+
+  def empty(depth: Int = DefaultDepth, width: Int = DefaultWidth,
+            seed: Long = DefaultSeed): Cms = new Cms(depth, width, seed)
+
+  def fromBytes(bytes: Array[Byte]): Cms = {
+    val in = ByteBuffer.wrap(bytes)
+    val magic = in.getInt()
+    require(magic == MAGIC, f"bad CMS magic 0x$magic%08x")
+    val depth = in.getInt()
+    val width = in.getInt()
+    val seed = in.getLong()
+    val c = new Cms(depth, width, seed)
+    c.total = in.getLong()
+    var i = 0
+    while (i < c.table.length) { c.table(i) = in.getLong(); i += 1 }
+    c
+  }
+}
