@@ -1,0 +1,137 @@
+package graft.functions
+
+import graft.core._
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.UserDefinedFunction
+import org.apache.spark.sql.functions.udaf
+
+/** Session registration for the graft sketch library.
+  *
+  * `Graft.ensure(spark)` is idempotent per session: registers every
+  * aggregate and scalar function for both the Column API and SQL, and
+  * tunes the one Catalyst config that matters for object-buffer
+  * aggregation at scale (SURVEY.md §4): the ObjectHashAggregate
+  * sort-based fallback threshold, which defaults to 128 distinct groups
+  * per task — far below the per-task (lang, host) group counts this
+  * engine aggregates — and would silently degrade partial aggregation
+  * to sort-based with per-group spill churn.
+  */
+object Graft {
+
+  val SketchSeed = 42L
+
+  def ensure(spark: SparkSession): SparkSession = synchronized {
+    if (!spark.conf.getOption("graft.registered").contains("true")) {
+      // object-agg groups per task routinely exceed the 128 default
+      spark.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "16384")
+      registerAll(spark)
+      spark.conf.set("graft.registered", "true")
+    }
+    spark
+  }
+
+  def registerAll(spark: SparkSession): Unit = {
+    import SketchAggregators._
+    val r = spark.udf
+
+    // build aggregators (default parameters; parameterized variants can
+    // be constructed directly via the Column API)
+    r.register("ebf_agg", udaf(new EbfAgg(Ebf.DefaultM0, Ebf.DefaultK, Ebf.DefaultL0,
+      Ebf.DefaultAlphaNum, Ebf.DefaultAlphaDen, SketchSeed)))
+    r.register("hll_agg", udaf(new HllAgg(Hll.DefaultP, SketchSeed)))
+    r.register("cms_agg", udaf(new CmsAgg(Cms.DefaultDepth, Cms.DefaultWidth, SketchSeed)))
+    r.register("kll_agg", udaf(new KllAgg(Kll.DefaultK)))
+    r.register("tdigest_agg", udaf(new TDigestAgg(TDigest.DefaultCompression)))
+
+    // merge aggregators (sketch-bytes -> sketch-bytes re-aggregation)
+    r.register("ebf_merge_agg", udaf(new EbfMergeAgg))
+    r.register("hll_merge_agg", udaf(new HllMergeAgg))
+    r.register("cms_merge_agg", udaf(new CmsMergeAgg))
+    r.register("kll_merge_agg", udaf(new KllMergeAgg))
+    r.register("tdigest_merge_agg", udaf(new TDigestMergeAgg))
+
+    // scalar functions over serialized sketches. Each deserializes via a
+    // per-thread cache keyed by content hash, so probing N rows against
+    // one broadcast sketch deserializes once per task, not once per row.
+    r.register("ebf_might_contain",
+      (sk: Array[Byte], key: String) => SketchCache.ebf(sk).mightContain(key))
+    r.register("ebf_expand", (sk: Array[Byte]) => {
+      val e = Ebf.fromBytes(sk); e.expand(); e.toBytes
+    })
+    r.register("ebf_compress", (sk: Array[Byte]) => {
+      val e = Ebf.fromBytes(sk); e.compress(); e.toBytes
+    })
+    r.register("ebf_delete", (sk: Array[Byte], key: String) => {
+      val e = Ebf.fromBytes(sk); e.delete(key); e.toBytes
+    })
+    r.register("ebf_info", (sk: Array[Byte]) => {
+      val e = SketchCache.ebf(sk)
+      EbfInfo(e.level, e.numBuckets, e.n, e.bitsSet, e.fpWidth, e.fprBound, sk.length)
+    })
+    r.register("hll_estimate", (sk: Array[Byte]) => SketchCache.hll(sk).estimate)
+    r.register("cms_estimate",
+      (sk: Array[Byte], key: String) => SketchCache.cms(sk).estimate(key))
+    r.register("cms_total", (sk: Array[Byte]) => SketchCache.cms(sk).total)
+    r.register("kll_quantile",
+      (sk: Array[Byte], q: Double) => SketchCache.kll(sk).quantile(q))
+    r.register("kll_rank",
+      (sk: Array[Byte], v: Double) => SketchCache.kll(sk).rank(v))
+    r.register("tdigest_quantile",
+      (sk: Array[Byte], q: Double) => SketchCache.td(sk).quantile(q))
+    r.register("tdigest_cdf",
+      (sk: Array[Byte], v: Double) => SketchCache.td(sk).cdf(v))
+
+    // text / web functions
+    r.register("extract_text", (html: Array[Byte]) => TextFunctions.extractText(html))
+    r.register("lang_id", (text: String) => TextFunctions.langId(text))
+    r.register("quality_score", (text: String) => TextFunctions.qualityScore(text))
+    r.register("token_count", (text: String) => TextFunctions.tokenCount(text))
+    r.register("bpe_token_count", (text: String) => TextFunctions.bpeishTokenCount(text))
+    r.register("doc_fingerprint", (text: String) => TextFunctions.fingerprint(text))
+    r.register("simhash64", (text: String) => TextFunctions.simhash(text))
+    r.register("hamming64", (a: Long, b: Long) => java.lang.Long.bitCount(a ^ b))
+  }
+
+  /** Probe UDF capturing an already-deserialized sketch: the E2 pattern —
+    * sketch built once, closure-shipped to executors once, zero per-row
+    * deserialization. Preferred over `ebf_might_contain(lit(bytes), col)`
+    * in hot probe paths. */
+  def ebfProbe(spark: SparkSession, sketch: Ebf): UserDefinedFunction =
+    org.apache.spark.sql.functions.udf((key: String) => sketch.mightContain(key))
+}
+
+/** Output row of `ebf_info` — the "sketch-size/FPR metrics" the north
+  * star requires jobs to carry. */
+case class EbfInfo(level: Int, numBuckets: Int, n: Long, bitsSet: Int,
+                   fpWidth: Int, fprBound: Double, sizeBytes: Int)
+
+/** Per-thread deserialized-sketch cache keyed by (length, murmur128) of
+  * the serialized form. Sketch bytes arriving from a Column literal are
+  * re-materialized per row by the UDF boundary, so identity caching
+  * fails; content hashing at ~GB/s is ~100x cheaper than deserializing. */
+object SketchCache {
+  private final case class Key(len: Int, h1: Long, h2: Long)
+
+  private val tl = new ThreadLocal[java.util.HashMap[Key, AnyRef]] {
+    override def initialValue(): java.util.HashMap[Key, AnyRef] = new java.util.HashMap()
+  }
+
+  private def get[S <: AnyRef](bytes: Array[Byte], from: Array[Byte] => S): S = {
+    val h = Hash128.hashBytes(bytes, 0x5eed)
+    val key = Key(bytes.length, h.h1, h.h2)
+    val m = tl.get()
+    var v = m.get(key)
+    if (v == null) {
+      if (m.size() > 64) m.clear()
+      v = from(bytes)
+      m.put(key, v)
+    }
+    v.asInstanceOf[S]
+  }
+
+  def ebf(b: Array[Byte]): Ebf = get(b, Ebf.fromBytes)
+  def hll(b: Array[Byte]): Hll = get(b, Hll.fromBytes)
+  def cms(b: Array[Byte]): Cms = get(b, Cms.fromBytes)
+  def kll(b: Array[Byte]): Kll = get(b, Kll.fromBytes)
+  def td(b: Array[Byte]): TDigest = get(b, TDigest.fromBytes)
+}

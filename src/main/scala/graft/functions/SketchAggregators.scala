@@ -1,0 +1,105 @@
+package graft.functions
+
+import graft.core._
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import scala.reflect.ClassTag
+
+/** Typed `Aggregator`s wrapping the graft.core sketch kernels.
+  *
+  * Spark-first design (SURVEY.md §3 E1): `functions.udaf(agg)` turns each
+  * of these into a `ScalaAggregator` — a `TypedImperativeAggregate` — so
+  * Catalyst plans partial aggregation per input task, serializes the
+  * object buffer (Kryo) for the shuffle by group key, and merges on the
+  * reduce side via our associative `merge`. That partial+final pipeline
+  * IS the distributed sketch build; no RDD code anywhere.
+  *
+  * All merge functions are associative and commutative (EBF/HLL/CMS
+  * byte-identically so), which is what makes the result independent of
+  * partitioning, task scheduling, and AQE re-planning — the north rule's
+  * "arbitrary partition merge orderings".
+  */
+object SketchAggregators {
+
+  // ---------------- build aggregators (raw column -> sketch bytes) ----
+
+  final class EbfAgg(m0: Int, k: Int, l0: Int, aNum: Int, aDen: Int, seed: Long)
+      extends Aggregator[String, Ebf, Array[Byte]] {
+    def zero: Ebf = Ebf.empty(m0, k, l0, aNum, aDen, seed)
+    def reduce(b: Ebf, key: String): Ebf = { if (key != null) b.insert(key); b }
+    def merge(a: Ebf, b: Ebf): Ebf = a.merge(b)
+    def finish(b: Ebf): Array[Byte] = b.toBytes
+    def bufferEncoder: Encoder[Ebf] = Encoders.kryo[Ebf]
+    def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
+  final class HllAgg(p: Int, seed: Long) extends Aggregator[String, Hll, Array[Byte]] {
+    def zero: Hll = Hll.empty(p, seed)
+    def reduce(b: Hll, key: String): Hll = { if (key != null) b.add(key); b }
+    def merge(a: Hll, b: Hll): Hll = a.merge(b)
+    def finish(b: Hll): Array[Byte] = b.toBytes
+    def bufferEncoder: Encoder[Hll] = Encoders.kryo[Hll]
+    def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
+  final class CmsAgg(depth: Int, width: Int, seed: Long)
+      extends Aggregator[String, Cms, Array[Byte]] {
+    def zero: Cms = Cms.empty(depth, width, seed)
+    def reduce(b: Cms, key: String): Cms = { if (key != null) b.add(key); b }
+    def merge(a: Cms, b: Cms): Cms = a.merge(b)
+    def finish(b: Cms): Array[Byte] = b.toBytes
+    def bufferEncoder: Encoder[Cms] = Encoders.kryo[Cms]
+    def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
+  final class KllAgg(k: Int) extends Aggregator[java.lang.Double, Kll, Array[Byte]] {
+    def zero: Kll = Kll.empty(k)
+    def reduce(b: Kll, v: java.lang.Double): Kll = { if (v != null) b.add(v.doubleValue()); b }
+    def merge(a: Kll, b: Kll): Kll = a.merge(b)
+    def finish(b: Kll): Array[Byte] = b.toBytes
+    def bufferEncoder: Encoder[Kll] = Encoders.kryo[Kll]
+    def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
+  final class TDigestAgg(compression: Double)
+      extends Aggregator[java.lang.Double, TDigest, Array[Byte]] {
+    def zero: TDigest = TDigest.empty(compression)
+    def reduce(b: TDigest, v: java.lang.Double): TDigest = { if (v != null) b.add(v.doubleValue()); b }
+    def merge(a: TDigest, b: TDigest): TDigest = a.merge(b)
+    def finish(b: TDigest): Array[Byte] = b.toBytes
+    def bufferEncoder: Encoder[TDigest] = Encoders.kryo[TDigest]
+    def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
+  // ---------------- merge aggregators (sketch bytes -> sketch bytes) --
+  //
+  // These make re-aggregation of per-partition / per-chunk / per-salt
+  // sketches a pure SQL operation — the second stage of the salted
+  // two-stage aggregation (O11) and the final pass of the checkpoint
+  // runner (O12). The buffer starts null (parameters come from the
+  // first sketch seen), which Kryo round-trips fine.
+
+  sealed class BytesMergeAgg[S <: AnyRef : ClassTag](
+      from: Array[Byte] => S,
+      mrg: (S, S) => S,
+      to: S => Array[Byte]
+  ) extends Aggregator[Array[Byte], S, Array[Byte]] {
+    def zero: S = null.asInstanceOf[S]
+    def reduce(b: S, bytes: Array[Byte]): S =
+      if (bytes == null) b
+      else if (b == null) from(bytes)
+      else mrg(b, from(bytes))
+    def merge(a: S, b: S): S =
+      if (a == null) b else if (b == null) a else mrg(a, b)
+    def finish(b: S): Array[Byte] = if (b == null) null else to(b)
+    def bufferEncoder: Encoder[S] = Encoders.kryo[S]
+    def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
+  final class EbfMergeAgg extends BytesMergeAgg[Ebf](Ebf.fromBytes, _ merge _, _.toBytes)
+  final class HllMergeAgg extends BytesMergeAgg[Hll](Hll.fromBytes, _ merge _, _.toBytes)
+  final class CmsMergeAgg extends BytesMergeAgg[Cms](Cms.fromBytes, _ merge _, _.toBytes)
+  final class KllMergeAgg extends BytesMergeAgg[Kll](Kll.fromBytes, _ merge _, _.toBytes)
+  final class TDigestMergeAgg
+      extends BytesMergeAgg[TDigest](TDigest.fromBytes, _ merge _, _.toBytes)
+}
