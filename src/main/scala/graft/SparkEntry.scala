@@ -42,7 +42,13 @@ object SparkEntry {
       .orderBy("lang")
   }
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] = baseQueries ++
+    graft.queries.SketchQueries.queries ++
+    graft.queries.PipelineQueries.queries ++
+    graft.queries.DataPipelineQueries.queries ++
+    graft.queries.WebPagesQueries.queries
+
+  private def baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---------------------------------------------------------- EBF
     "ebf_member_probe" -> { (s, dir) =>
       Graft.ensure(s)
@@ -79,7 +85,13 @@ object SparkEntry {
     },
   )
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = baseOracleSql ++
+    graft.queries.SketchQueries.oracleSql ++
+    graft.queries.PipelineQueries.oracleSql ++
+    graft.queries.DataPipelineQueries.oracleSql ++
+    graft.queries.WebPagesQueries.oracleSql
+
+  private def baseOracleSql: Map[String, String] = Map(
     "ebf_member_probe" ->
       "SELECT doc_id, TRUE AS hit FROM documents ORDER BY doc_id",
     "hll_within_bound" ->

@@ -1,0 +1,186 @@
+package graft.queries
+
+import graft.dedup.Dedup
+import graft.functions.Graft
+import graft.multimodal.Multimodal
+import graft.similarity.Ann
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators over the driver testdata: dedup
+  * (exact / MinHash-LSH / SimHash / n-gram Jaccard / embedding-cosine),
+  * similarity search (brute-force + LSH ANN), text analysis, and
+  * multimodal binary plumbing.
+  *
+  * Where the testdata has no genuine duplicates (all 500 texts are
+  * distinct), the queries plant deterministic duplicates/near-duplicates
+  * (id + 1M/2M offsets) so the operators demonstrably *find* something
+  * and recall is oracle-checkable, not vacuous.
+  */
+object DataPipelineQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+  private def embeddings(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  /** documents + exact copies at id+2M. */
+  private def withExactDups(d: DataFrame): DataFrame =
+    d.select("doc_id", "text").unionByName(
+      d.select((col("doc_id") + 2000000).as("doc_id"), col("text")))
+
+  /** documents + near-duplicates (one appended token) at id+1M. */
+  private def withNearDups(d: DataFrame): DataFrame =
+    d.select("doc_id", "text").unionByName(
+      d.select((col("doc_id") + 1000000).as("doc_id"),
+        concat(col("text"), lit(" zzmut")).as("text")))
+
+  /** embeddings + slightly perturbed copies at id+1M (cosine ~0.9987). */
+  private def withPerturbedVecs(e: DataFrame): DataFrame = {
+    val perturbed = e.select((col("vec_id") + 1000000).as("vec_id"),
+      transform(col("embedding"),
+        (x, i) => x + when(pmod(col("vec_id") * 31 + i, lit(2)) === 0, lit(0.05f))
+          .otherwise(lit(-0.05f))).as("embedding"))
+    e.select("vec_id", "embedding").unionByName(perturbed)
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // -------------------------------------------------------- dedup
+    "dedup_exact" -> { (s, dir) =>
+      Dedup.exact(withExactDups(docs(s, dir)), "text", "doc_id")
+        .orderBy("text_hash")
+    },
+
+    "dedup_minhash_pairs" -> { (s, dir) =>
+      Graft.ensure(s)
+      Dedup.minhashPairs(s, withNearDups(docs(s, dir)), "text", "doc_id",
+          threshold = 0.5)
+        .orderBy("id_a", "id_b")
+    },
+
+    "dedup_minhash_recall" -> { (s, dir) =>
+      Graft.ensure(s)
+      val d = docs(s, dir)
+      val found = Dedup.minhashPairs(s, withNearDups(d), "text", "doc_id",
+        threshold = 0.5)
+      val planted = d.select(col("doc_id").as("id_a"),
+        (col("doc_id") + 1000000).as("id_b"))
+      val nPlanted = planted.count()
+      val nFound = planted.join(found, Seq("id_a", "id_b"), "left_semi").count()
+      s.range(1).select(lit(nFound == nPlanted).as("all_planted_found"))
+    },
+
+    "dedup_simhash_pairs" -> { (s, dir) =>
+      Graft.ensure(s)
+      Dedup.simhashPairs(withNearDups(docs(s, dir)), "text", "doc_id", maxHamming = 6)
+        .orderBy("id_a", "id_b")
+    },
+
+    "ngram_jaccard_verify" -> { (s, dir) =>
+      Graft.ensure(s)
+      val aug = withNearDups(docs(s, dir))
+      val candidates = Dedup.minhashPairs(s, aug, "text", "doc_id", threshold = 0.5)
+      Dedup.ngramJaccardVerify(candidates, aug, "text", "doc_id")
+        .select("id_a", "id_b", "est_jaccard", "jaccard")
+        .orderBy("id_a", "id_b")
+    },
+
+    "dedup_embedding_cosine" -> { (s, dir) =>
+      Graft.ensure(s)
+      val aug = withPerturbedVecs(embeddings(s, dir))
+      Ann.embeddingNearDups(aug, "vec_id", "embedding", dim = 64,
+          threshold = 0.95, numTables = 16, numBits = 6)
+        .select("id_a", "id_b")
+        .orderBy("id_a", "id_b")
+    },
+
+    // --------------------------------------------------- similarity
+    "ann_bruteforce_topk" -> { (s, dir) =>
+      val e = embeddings(s, dir)
+      Ann.bruteForceTopK(e, e.filter(col("vec_id") < 5), "vec_id", "embedding", 10)
+        .select(col("query_id"), col("neighbor_id"), col("rank").cast("long").as("rank"))
+        .orderBy("query_id", "rank")
+    },
+
+    "ann_lsh_recall" -> { (s, dir) =>
+      val e = embeddings(s, dir)
+      val q = e.filter(col("vec_id") < 5)
+      val exact = Ann.bruteForceTopK(e, q, "vec_id", "embedding", 10)
+        .select("query_id", "neighbor_id")
+      val approx = Ann.lshTopK(e, q, "vec_id", "embedding", 10, dim = 64,
+        numTables = 16, numBits = 6)
+        .select("query_id", "neighbor_id")
+      val nExact = exact.count()
+      val nHit = exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi").count()
+      s.range(1).select(lit(nHit.toDouble / nExact >= 0.3).as("recall_at_10_ge_030"),
+        lit(nHit.toDouble / nExact).as("recall_at_10"))
+    },
+
+    // -------------------------------------------------------- text
+    "text_stats" -> { (s, dir) =>
+      Graft.ensure(s)
+      docs(s, dir).select(col("doc_id"),
+          length(col("text")).cast("long").as("text_chars"),
+          expr("token_count(text)").cast("long").as("n_tokens"))
+        .orderBy("doc_id")
+    },
+
+    "text_features" -> { (s, dir) =>
+      Graft.ensure(s)
+      docs(s, dir).select(col("doc_id"),
+          expr("lang_id(text)").as("lang_pred"),
+          expr("quality_score(text)").as("quality"),
+          expr("bpe_token_count(text)").as("bpe_tokens"),
+          expr("doc_fingerprint(text)").as("fingerprint"),
+          expr("simhash64(text)").as("simhash"))
+        .orderBy("doc_id")
+    },
+
+    // -------------------------------------------------- multimodal
+    "binary_meta_check" -> { (s, dir) =>
+      Graft.ensure(s)
+      val withBin = docs(s, dir).withColumn("payload",
+        concat(lit("<html><head></head><body><p>"),
+          col("text"), lit("</p></body></html>")).cast("binary"))
+      withBin.select(col("doc_id"), Multimodal.binaryMeta(col("payload")).as("meta"))
+        .select(col("doc_id"),
+          col("meta.n_bytes").cast("long").as("n_bytes"),
+          col("meta.magic").as("magic"))
+        .orderBy("doc_id")
+    },
+
+    "multimodal_features" -> { (s, dir) =>
+      Graft.ensure(s)
+      val withBin = docs(s, dir).withColumn("payload", col("text").cast("binary"))
+      Multimodal.enrich(withBin, "payload", Seq("doc_id"))
+        .select(col("doc_id"), col("meta.n_bytes"), col("meta.sha256"),
+          col("features"))
+        .orderBy("doc_id")
+    },
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "dedup_exact" ->
+      ("SELECT md5(text) AS text_hash, MIN(doc_id) AS keeper_id, COUNT(*) AS dup_count " +
+        "FROM (SELECT doc_id, text FROM documents " +
+        "UNION ALL SELECT doc_id + 2000000, text FROM documents) " +
+        "GROUP BY md5(text) ORDER BY text_hash"),
+    "dedup_minhash_recall" ->
+      "SELECT TRUE AS all_planted_found",
+    "ann_bruteforce_topk" ->
+      ("SELECT query_id, neighbor_id, rank FROM (" +
+        "SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, " +
+        "row_number() OVER (PARTITION BY q.vec_id ORDER BY " +
+        "list_cosine_similarity(c.embedding, q.embedding) DESC, c.vec_id ASC) AS rank " +
+        "FROM embeddings c CROSS JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5) q " +
+        "WHERE c.vec_id <> q.vec_id) WHERE rank <= 10 ORDER BY query_id, rank"),
+    "text_stats" ->
+      ("SELECT doc_id, length(text) AS text_chars, " +
+        "array_length(string_split(text, ' ')) AS n_tokens " +
+        "FROM documents ORDER BY doc_id"),
+    "binary_meta_check" ->
+      ("SELECT doc_id, octet_length(encode(text)) + 46 AS n_bytes, 'html' AS magic " +
+        "FROM documents ORDER BY doc_id"),
+  )
+}

@@ -1,0 +1,108 @@
+package graft.queries
+
+import graft.functions.Graft
+import graft.pipeline.{CheckpointRunner, SaltedAgg}
+import graft.pipeline.SaltedAgg.SketchSpec
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver-contract queries for the distribution-level operators:
+  * salted two-stage aggregation (O11), checkpoint-resume (O12),
+  * extract_text identity, and parallelism invariance. These are the
+  * queries that prove the engine's *distributed* semantics — the
+  * properties that matter at 1000 executors, demonstrated at sf0.01.
+  */
+object PipelineQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  private val specs = Seq(
+    SketchSpec("ebf", expr("ebf_agg(cast(doc_id as string))"), "ebf_merge_agg"),
+    SketchSpec("hll", expr("hll_agg(cast(doc_id as string))"), "hll_merge_agg"),
+    SketchSpec("cms", expr("cms_agg(source)"), "cms_merge_agg"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "salted_vs_plain_equivalence" -> { (s, dir) =>
+      Graft.ensure(s)
+      val d = docs(s, dir)
+      val plain = SaltedAgg.plainAgg(d, Seq("source"), specs)
+      val salted = SaltedAgg.sketchAgg(d, Seq("source"), col("doc_id"), 16, specs)
+      plain.as("p").join(salted.as("q"), "source")
+        .select(col("source"),
+          (col("p.ebf") === col("q.ebf")).as("ebf_equal"),
+          (col("p.hll") === col("q.hll")).as("hll_equal"),
+          (col("p.cms") === col("q.cms")).as("cms_equal"))
+        .orderBy("source")
+    },
+
+    "extract_text_identity" -> { (s, dir) =>
+      Graft.ensure(s)
+      // synthesize html from the stored text, re-extract, must round-trip
+      docs(s, dir)
+        .withColumn("html",
+          concat(lit("<html><head></head><body><p>"),
+            col("text"), lit("</p></body></html>")).cast("binary"))
+        .select(col("doc_id"),
+          (expr("extract_text(html)") === col("text")).as("identical"))
+        .orderBy("doc_id")
+    },
+
+    "checkpoint_resume_equivalence" -> { (s, dir) =>
+      Graft.ensure(s)
+      val d = docs(s, dir)
+      val base = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+      // run 1: killed after 2 of 5 chunks
+      val killed = CheckpointRunner.run(s, d, col("doc_id"), 5, Seq("lang"), specs,
+        base, stopAfter = 2)
+      require(killed == null, "expected early stop")
+      val manifestAfterKill = CheckpointRunner.readManifest(base).size
+      // run 2: resume to completion (verifies lineage of done chunks)
+      val resumed = CheckpointRunner.run(s, d, col("doc_id"), 5, Seq("lang"), specs, base)
+      val single = SaltedAgg.plainAgg(d, Seq("lang"), specs)
+      val joined = resumed.as("r").join(single.as("x"), "lang")
+        .select(col("lang"),
+          (col("r.ebf") === col("x.ebf")).as("ebf_equal"),
+          (col("r.hll") === col("x.hll")).as("hll_equal"),
+          (col("r.cms") === col("x.cms")).as("cms_equal"))
+      val allEqual = joined.agg(
+        bool_and(col("ebf_equal")), bool_and(col("hll_equal")), bool_and(col("cms_equal")), count(lit(1))).head
+      val langs = single.count()
+      s.range(1).select(
+        lit(manifestAfterKill == 2).as("killed_after_two_chunks"),
+        lit(allEqual.getBoolean(0) && allEqual.getBoolean(1) && allEqual.getBoolean(2))
+          .as("resumed_equals_single_shot"),
+        lit(allEqual.getLong(3) == langs).as("all_groups_present"))
+    },
+
+    "parallelism_invariance" -> { (s, dir) =>
+      Graft.ensure(s)
+      val d = docs(s, dir)
+      def build(parts: Int) = SaltedAgg.plainAgg(
+        d.repartition(parts), Seq("lang"), specs)
+      val a = build(2)
+      val b = build(13)
+      val joined = a.as("a").join(b.as("b"), "lang")
+        .agg(bool_and((col("a.ebf") === col("b.ebf")) &&
+          (col("a.hll") === col("b.hll")) &&
+          (col("a.cms") === col("b.cms"))).as("eq"), count(lit(1)).as("n")).head
+      s.range(1).select(
+        lit(joined.getBoolean(0)).as("bytes_identical_across_parallelism"),
+        lit(joined.getLong(1) == 5L).as("all_langs_present"))
+    },
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "salted_vs_plain_equivalence" ->
+      ("SELECT source, TRUE AS ebf_equal, TRUE AS hll_equal, TRUE AS cms_equal " +
+        "FROM (SELECT DISTINCT source FROM documents) ORDER BY source"),
+    "extract_text_identity" ->
+      "SELECT doc_id, TRUE AS identical FROM documents ORDER BY doc_id",
+    "checkpoint_resume_equivalence" ->
+      ("SELECT TRUE AS killed_after_two_chunks, TRUE AS resumed_equals_single_shot, " +
+        "TRUE AS all_groups_present"),
+    "parallelism_invariance" ->
+      "SELECT TRUE AS bytes_identical_across_parallelism, TRUE AS all_langs_present",
+  )
+}

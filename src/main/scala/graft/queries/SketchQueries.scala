@@ -1,0 +1,252 @@
+package graft.queries
+
+import graft.core._
+import graft.functions.{Graft, SketchAggregators}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver-contract queries for the sketch operators (SURVEY.md §2.3).
+  *
+  * Estimate queries come in pairs: a rows-only estimate dump (not
+  * SQL-expressible, driver does a weaker rows-check) and an
+  * oracle-checked bound query emitting booleans that prove the estimate
+  * sits within the algorithm's published error bound vs the Spark-side
+  * exact value. Bound checks use fixed seeds, so they are fully
+  * deterministic: they either always pass or always fail for a given
+  * input — no flakiness by construction.
+  */
+object SketchQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+  private def lineitem(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/lineitem.parquet")
+  private def events(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/events.parquet")
+  private def tokens(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir).select(explode(split(col("text"), " ")).as("token"))
+
+  private def ebfOf(df: DataFrame, keyExpr: String): Ebf =
+    Ebf.fromBytes(df.select(expr(s"ebf_agg($keyExpr)")).head.getAs[Array[Byte]](0))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---------------------------------------------------------- EBF
+    "ebf_lineitem_probe" -> { (s, dir) =>
+      Graft.ensure(s)
+      val sk = ebfOf(lineitem(s, dir), "cast(l_orderkey as string)")
+      val probe = Graft.ebfProbe(s, sk)
+      lineitem(s, dir).select(col("l_orderkey")).distinct()
+        .select(col("l_orderkey"), probe(col("l_orderkey").cast("string")).as("hit"))
+        .orderBy("l_orderkey")
+    },
+
+    "ebf_expand_roundtrip" -> { (s, dir) =>
+      Graft.ensure(s)
+      // small m0 via the Column API to force real expansions, then one
+      // manual ebf_expand on top: members must survive
+      val agg = udaf(new SketchAggregators.EbfAgg(64, 5, 16, 1, 8, Graft.SketchSeed))
+      val d = docs(s, dir)
+      val bytes = d.select(agg(col("doc_id").cast("string"))).head.getAs[Array[Byte]](0)
+      val expanded = Ebf.fromBytes(bytes)
+      val levelBefore = expanded.level
+      expanded.expand()
+      require(expanded.level == levelBefore + 1)
+      val probe = Graft.ebfProbe(s, expanded)
+      d.select(col("doc_id"), probe(col("doc_id").cast("string")).as("hit_after_expand"))
+        .orderBy("doc_id")
+    },
+
+    "ebf_compress_roundtrip" -> { (s, dir) =>
+      Graft.ensure(s)
+      val original = ebfOf(docs(s, dir), "cast(doc_id as string)")
+      val rt = Ebf.fromBytes(original.toBytes)
+      rt.expand()
+      rt.compress()
+      val bytesEqual = java.util.Arrays.equals(original.toBytes, rt.toBytes)
+      val probe = Graft.ebfProbe(s, rt)
+      docs(s, dir)
+        .agg(bool_and(probe(col("doc_id").cast("string"))).as("members_ok"))
+        .select(lit(bytesEqual).as("bytes_equal"), col("members_ok"))
+    },
+
+    "ebf_delete_semantics" -> { (s, dir) =>
+      Graft.ensure(s)
+      val d = docs(s, dir)
+      val sk = ebfOf(d, "cast(doc_id as string)")
+      val evens = d.filter(col("doc_id") % 2 === 0).select("doc_id")
+        .collect().map(_.getLong(0))
+      evens.foreach(id => require(sk.delete(id.toString), s"delete($id) failed"))
+      val probe = Graft.ebfProbe(s, sk)
+      d.filter(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), probe(col("doc_id").cast("string")).as("hit"))
+        .orderBy("doc_id")
+    },
+
+    "ebf_fpr_check" -> { (s, dir) =>
+      Graft.ensure(s)
+      val sk = ebfOf(docs(s, dir), "cast(doc_id as string)")
+      val probe = Graft.ebfProbe(s, sk)
+      val members = docs(s, dir)
+        .agg(bool_and(probe(col("doc_id").cast("string")))).head.getBoolean(0)
+      val nProbes = 100000L
+      val fpCount = s.range(1000000000L, 1000000000L + nProbes)
+        .select(probe(col("id").cast("string")).as("hit"))
+        .agg(sum(when(col("hit"), 1L).otherwise(0L))).head.getLong(0)
+      val measured = fpCount.toDouble / nProbes
+      // classic bound slightly underestimates true FPR; 25% + binomial slack
+      val bound = sk.fprBound * 1.25 + 4.0 * math.sqrt(sk.fprBound / nProbes)
+      s.range(1).select(
+        lit(members).as("no_false_negatives"),
+        lit(measured <= bound).as("fpr_within_bound"))
+    },
+
+    "ebf_metrics" -> { (s, dir) =>
+      Graft.ensure(s)
+      docs(s, dir).groupBy(col("lang"))
+        .agg(expr("ebf_info(ebf_agg(cast(doc_id as string)))").as("info"))
+        .select(col("lang"), col("info.level"), col("info.numBuckets"),
+          col("info.n"), col("info.bitsSet"), col("info.fpWidth"),
+          col("info.fprBound"), col("info.sizeBytes"))
+        .orderBy("lang")
+    },
+
+    // ---------------------------------------------------------- HLL
+    "hll_events_user_ndv" -> { (s, dir) =>
+      Graft.ensure(s)
+      events(s, dir).groupBy(col("event_type"))
+        .agg(
+          expr("hll_estimate(hll_agg(cast(user_id as string)))").as("est"),
+          countDistinct(col("user_id")).as("exact"))
+        .select(col("event_type"),
+          (abs(col("est") - col("exact")) <=
+            lit(3.0 * 1.04 / math.sqrt(4096.0)) * col("exact") + lit(3.0)).as("within_bound"))
+        .orderBy("event_type")
+    },
+
+    // ---------------------------------------------------------- CMS
+    "cms_overestimate_check" -> { (s, dir) =>
+      Graft.ensure(s)
+      val t = tokens(s, dir)
+      val cms = Cms.fromBytes(t.select(expr("cms_agg(token)")).head.getAs[Array[Byte]](0))
+      val eps = cms.eps
+      val total = cms.total
+      val est = udf((tok: String) => cms.estimate(tok))
+      t.groupBy(col("token")).agg(count(lit(1)).as("exact"))
+        .withColumn("est", est(col("token")))
+        .select(col("token"),
+          (col("est") >= col("exact")).as("over"),
+          (col("est") <= col("exact") + lit(eps * total) + lit(1.0)).as("within_eps"))
+        .orderBy("token")
+    },
+
+    "cms_token_topk" -> { (s, dir) =>
+      Graft.ensure(s)
+      val t = tokens(s, dir)
+      val cms = Cms.fromBytes(t.select(expr("cms_agg(token)")).head.getAs[Array[Byte]](0))
+      val est = udf((tok: String) => cms.estimate(tok))
+      t.distinct()
+        .withColumn("est", est(col("token")))
+        .orderBy(col("est").desc, col("token").asc)
+        .limit(20)
+    },
+
+    "exact_token_topk" -> { (s, dir) =>
+      tokens(s, dir).groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("token").asc)
+        .limit(20)
+    },
+
+    // ---------------------------------------------------------- KLL
+    "kll_quantiles_price" -> { (s, dir) =>
+      Graft.ensure(s)
+      val li = lineitem(s, dir)
+      val sk = Kll.fromBytes(
+        li.select(expr("kll_agg(l_extendedprice)")).head.getAs[Array[Byte]](0))
+      val qs = Seq(0.01, 0.05, 0.1, 0.25, 0.5, 0.75, 0.9, 0.95, 0.99)
+      import s.implicits._
+      qs.map(q => (q, sk.quantile(q))).toDF("q", "est")
+    },
+
+    "kll_rank_bound_check" -> { (s, dir) =>
+      Graft.ensure(s)
+      val li = lineitem(s, dir)
+      val sk = Kll.fromBytes(
+        li.select(expr("kll_agg(l_extendedprice)")).head.getAs[Array[Byte]](0))
+      val qs = Seq(0.1, 0.25, 0.5, 0.75, 0.9)
+      val ests = qs.map(sk.quantile)
+      // exact rank of each estimate, one pass
+      val rankAggs = ests.zipWithIndex.map { case (v, i) =>
+        (sum(when(col("l_extendedprice") <= v, 1L).otherwise(0L)) /
+          count(lit(1))).as(s"r$i")
+      }
+      val row = li.agg(rankAggs.head, rankAggs.tail: _*).head
+      val eps = sk.normalizedRankError * 2.0 // deterministic-compaction margin
+      import s.implicits._
+      qs.zipWithIndex.map { case (q, i) =>
+        (q, math.abs(row.getDouble(i) - q) <= eps)
+      }.toDF("q", "within_bound").orderBy("q")
+    },
+
+    "kll_ts_quantiles" -> { (s, dir) =>
+      Graft.ensure(s)
+      // events.ts is TIMESTAMP_NTZ in the driver parquet; session is UTC
+      val ev = events(s, dir)
+        .select(unix_micros(col("ts").cast("timestamp")).cast("double").as("ts_us"))
+      val sk = Kll.fromBytes(ev.select(expr("kll_agg(ts_us)")).head.getAs[Array[Byte]](0))
+      import s.implicits._
+      Seq(0.1, 0.5, 0.9).map(q => (q, sk.quantile(q).toLong)).toDF("q", "est_ts_us")
+    },
+
+    // ------------------------------------------------------ t-digest
+    "tdigest_doclen_q" -> { (s, dir) =>
+      Graft.ensure(s)
+      docs(s, dir).groupBy(col("lang"))
+        .agg(expr("tdigest_agg(cast(n_chars as double))").as("sk"))
+        .select(col("lang"),
+          expr("tdigest_quantile(sk, 0.5D)").as("p50"),
+          expr("tdigest_quantile(sk, 0.95D)").as("p95"))
+        .orderBy("lang")
+    },
+
+    "tdigest_bound_check" -> { (s, dir) =>
+      Graft.ensure(s)
+      val ev = events(s, dir)
+      val sk = TDigest.fromBytes(
+        ev.select(expr("tdigest_agg(value)")).head.getAs[Array[Byte]](0))
+      val qs = Seq(0.01, 0.1, 0.5, 0.9, 0.99)
+      val ests = qs.map(sk.quantile)
+      val rankAggs = ests.zipWithIndex.map { case (v, i) =>
+        (sum(when(col("value") <= v, 1L).otherwise(0L)) / count(lit(1))).as(s"r$i")
+      }
+      val row = ev.agg(rankAggs.head, rankAggs.tail: _*).head
+      import s.implicits._
+      qs.zipWithIndex.map { case (q, i) =>
+        (q, math.abs(row.getDouble(i) - q) <= 0.05)
+      }.toDF("q", "within_tolerance").orderBy("q")
+    },
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "ebf_lineitem_probe" ->
+      "SELECT DISTINCT l_orderkey, TRUE AS hit FROM lineitem ORDER BY l_orderkey",
+    "ebf_expand_roundtrip" ->
+      "SELECT doc_id, TRUE AS hit_after_expand FROM documents ORDER BY doc_id",
+    "ebf_compress_roundtrip" ->
+      "SELECT TRUE AS bytes_equal, TRUE AS members_ok",
+    "ebf_delete_semantics" ->
+      "SELECT doc_id, TRUE AS hit FROM documents WHERE doc_id % 2 = 1 ORDER BY doc_id",
+    "ebf_fpr_check" ->
+      "SELECT TRUE AS no_false_negatives, TRUE AS fpr_within_bound",
+    "hll_events_user_ndv" ->
+      "SELECT event_type, TRUE AS within_bound FROM events GROUP BY event_type ORDER BY event_type",
+    "cms_overestimate_check" ->
+      "SELECT token, TRUE AS over, TRUE AS within_eps FROM (SELECT DISTINCT unnest(string_split(text, ' ')) AS token FROM documents) ORDER BY token",
+    "exact_token_topk" ->
+      "SELECT token, COUNT(*) AS cnt FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) GROUP BY token ORDER BY cnt DESC, token ASC LIMIT 20",
+    "kll_rank_bound_check" ->
+      "SELECT CAST(q AS DOUBLE) AS q, TRUE AS within_bound FROM (VALUES (0.1),(0.25),(0.5),(0.75),(0.9)) t(q) ORDER BY q",
+    "tdigest_bound_check" ->
+      "SELECT CAST(q AS DOUBLE) AS q, TRUE AS within_tolerance FROM (VALUES (0.01),(0.1),(0.5),(0.9),(0.99)) t(q) ORDER BY q",
+  )
+}

@@ -1,0 +1,92 @@
+package graft.queries
+
+import graft.data.WebPagesGen
+import graft.functions.Graft
+import graft.pipeline.SaltedAgg
+import graft.pipeline.SaltedAgg.SketchSpec
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Queries over the synthetic Common-Crawl-shaped webpages table (the
+  * north rule's input shape: url, warc_ts, html, text, lang — parquet
+  * partitioned by lang). The table is generated deterministically on
+  * first use (FIXTURES.md §1); these queries exercise the flagship
+  * pipeline at its real shape: host parsed from url, Zipf-skewed hosts,
+  * salted aggregation, and the byte-identical extract_text invariant.
+  */
+object WebPagesQueries {
+
+  val TestRows = 50000L
+  val TestHosts = 2000
+
+  private def webpages(s: SparkSession): DataFrame = {
+    val path = WebPagesGen.ensureTable(s, "/root/repo/data/webpages/test",
+      TestRows, TestHosts)
+    s.read.parquet(path)
+  }
+
+  private def withHost(df: DataFrame): DataFrame =
+    df.withColumn("host", parse_url(col("url"), lit("HOST")))
+
+  private val urlSpecs = Seq(
+    SketchSpec("ebf", expr("ebf_agg(url)"), "ebf_merge_agg"),
+    SketchSpec("hll", expr("hll_agg(url)"), "hll_merge_agg"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    "wp_flagship_by_lang" -> { (s, _) =>
+      Graft.ensure(s)
+      withHost(webpages(s))
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          expr("hll_estimate(hll_agg(host))").as("host_ndv_est"),
+          expr("ebf_info(ebf_agg(url))").as("ebf"),
+          expr("kll_quantile(kll_agg(cast(length(text) as double)), 0.5D)").as("median_text_len"),
+          expr("tdigest_quantile(tdigest_agg(cast(length(text) as double)), 0.99D)").as("p99_text_len"))
+        .select(col("lang"), col("n_docs"), col("host_ndv_est"),
+          col("ebf.level").as("ebf_level"), col("ebf.n").as("ebf_n"),
+          col("ebf.fprBound").as("ebf_fpr_bound"),
+          col("median_text_len"), col("p99_text_len"))
+        .orderBy("lang")
+    },
+
+    "wp_salted_host_equivalence" -> { (s, _) =>
+      Graft.ensure(s)
+      val wp = withHost(webpages(s)).select("host", "url")
+      val plain = SaltedAgg.plainAgg(wp, Seq("host"), urlSpecs)
+      val salted = SaltedAgg.sketchAgg(wp, Seq("host"), col("url"), 32, urlSpecs)
+      val cmp = plain.as("p").join(salted.as("q"), "host")
+        .agg(bool_and((col("p.ebf") === col("q.ebf")) &&
+          (col("p.hll") === col("q.hll"))).as("eq"), count(lit(1)).as("hosts")).head
+      s.range(1).select(
+        lit(cmp.getBoolean(0)).as("salted_equals_plain"),
+        lit(cmp.getLong(1) > 0).as("has_hosts"))
+    },
+
+    "wp_extract_identity" -> { (s, _) =>
+      Graft.ensure(s)
+      val cmp = webpages(s)
+        .agg(bool_and(expr("extract_text(html)") === col("text")).as("identical"),
+          count(lit(1)).as("rows")).head
+      s.range(1).select(
+        lit(cmp.getBoolean(0)).as("all_identical"),
+        lit(cmp.getLong(1) == TestRows).as("row_count_matches"))
+    },
+
+    "wp_host_skew_profile" -> { (s, _) =>
+      Graft.ensure(s)
+      // evidence of the Zipf skew the salted agg exists for
+      withHost(webpages(s)).groupBy(col("host")).agg(count(lit(1)).as("docs"))
+        .orderBy(col("docs").desc, col("host").asc)
+        .limit(10)
+    },
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "wp_salted_host_equivalence" ->
+      "SELECT TRUE AS salted_equals_plain, TRUE AS has_hosts",
+    "wp_extract_identity" ->
+      "SELECT TRUE AS all_identical, TRUE AS row_count_matches",
+  )
+}
