@@ -1,0 +1,131 @@
+package graft
+
+import graft.core._
+import graft.data.WebPagesGen
+import graft.functions.Graft
+import graft.pipeline.{CheckpointRunner, SaltedAgg}
+import graft.pipeline.SaltedAgg.SketchSpec
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SparkPipelineSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = Graft.ensure(
+    SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate())
+
+  private lazy val wp = WebPagesGen.dataset(spark, 5000L, numHosts = 200).toDF().cache()
+
+  private val specs = Seq(
+    SketchSpec("ebf", expr("ebf_agg(url)"), "ebf_merge_agg"),
+    SketchSpec("hll", expr("hll_agg(url)"), "hll_merge_agg"),
+    SketchSpec("cms", expr("cms_agg(lang)"), "cms_merge_agg"))
+
+  test("flagship entry returns one row per lang") {
+    val rows = SparkEntry.entry(spark).collect()
+    assert(rows.length === 5)
+    assert(rows.map(_.getAs[String]("lang")).toSeq.sorted ===
+      Seq("de", "en", "es", "fr", "zh"))
+  }
+
+  test("sketch bytes identical across partitionings (2 vs 7 partitions)") {
+    def build(parts: Int) =
+      wp.repartition(parts).groupBy("lang")
+        .agg(expr("ebf_agg(url)").as("ebf"), expr("hll_agg(url)").as("hll"))
+        .collect().map(r => r.getString(0) ->
+          (r.getAs[Array[Byte]](1).toSeq, r.getAs[Array[Byte]](2).toSeq)).toMap
+    assert(build(2) === build(7))
+  }
+
+  test("salted two-stage aggregation is byte-identical to plain (Zipf host skew)") {
+    val withHost = wp.withColumn("host", parse_url(col("url"), lit("HOST")))
+    val plain = SaltedAgg.plainAgg(withHost, Seq("host"), specs)
+      .collect().map(r => r.getString(0) -> r.toSeq.tail.map(_.asInstanceOf[Array[Byte]].toSeq)).toMap
+    val salted = SaltedAgg.sketchAgg(withHost, Seq("host"), col("url"), 8, specs)
+      .collect().map(r => r.getString(0) -> r.toSeq.tail.map(_.asInstanceOf[Array[Byte]].toSeq)).toMap
+    assert(plain.keySet === salted.keySet)
+    assert(plain === salted)
+  }
+
+  test("checkpoint kill + resume equals single-shot build") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_test_ckpt").toString
+    val killed = CheckpointRunner.run(spark, wp, col("url"), 4, Seq("lang"), specs,
+      dir, stopAfter = 2)
+    assert(killed == null)
+    assert(CheckpointRunner.readManifest(dir).size === 2)
+    val resumed = CheckpointRunner.run(spark, wp, col("url"), 4, Seq("lang"), specs, dir)
+    val single = SaltedAgg.plainAgg(wp, Seq("lang"), specs)
+    val r = resumed.select("lang", "ebf", "hll", "cms").collect()
+      .map(x => x.getString(0) -> x.toSeq.tail.map(_.asInstanceOf[Array[Byte]].toSeq)).toMap
+    val s = single.collect()
+      .map(x => x.getString(0) -> x.toSeq.tail.map(_.asInstanceOf[Array[Byte]].toSeq)).toMap
+    assert(r === s)
+    val manifest = CheckpointRunner.readManifest(dir)
+    assert(manifest.size === 4)
+    assert(manifest.map(_.rows).sum === 5000L)
+  }
+
+  test("aggregation plan uses ObjectHashAggregate and prunes unused columns") {
+    val plan = wp.groupBy("lang").agg(expr("hll_agg(url)"))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), s"expected ObjectHashAggregate in:\n$plan")
+  }
+
+  test("parquet scan prunes the heavy html column when not referenced") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_wp_prune").toString
+    wp.write.mode("overwrite").parquet(dir)
+    val q = spark.read.parquet(dir).groupBy("lang").agg(expr("ebf_agg(url)"))
+    val scan = q.queryExecution.executedPlan.toString
+    val readSchema = scan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("url"), readSchema)
+    assert(!readSchema.contains("html"), s"html must be pruned from scan: $readSchema")
+  }
+
+  test("extract_text invariant: stored text == re-extracted text, everywhere") {
+    val bad = wp.filter(expr("extract_text(html)") =!= col("text")).count()
+    assert(bad === 0L)
+  }
+
+  test("null keys are ignored by build aggregators") {
+    import spark.implicits._
+    val df = Seq(Some("a"), None, Some("b"), None, Some("a")).toDF("k")
+    val bytes = df.select(expr("ebf_agg(k)")).head.getAs[Array[Byte]](0)
+    val e = Ebf.fromBytes(bytes)
+    assert(e.n === 3)
+    assert(e.mightContain("a") && e.mightContain("b"))
+    val h = Hll.fromBytes(df.select(expr("hll_agg(k)")).head.getAs[Array[Byte]](0))
+    assert(h.estimate === 2L)
+  }
+
+  test("sql-registered scalar fns work end-to-end (probe, estimate, quantile)") {
+    wp.createOrReplaceTempView("wp_view")
+    val row = spark.sql(
+      """SELECT ebf_might_contain(ebf, first_url) AS hit,
+        |       hll_estimate(hll) AS ndv,
+        |       kll_quantile(kll, 0.5D) AS med,
+        |       tdigest_quantile(td, 0.5D) AS tmed,
+        |       cms_estimate(cms, 'en') AS en_freq
+        |FROM (SELECT ebf_agg(url) AS ebf, hll_agg(url) AS hll,
+        |             kll_agg(cast(length(text) as double)) AS kll,
+        |             tdigest_agg(cast(length(text) as double)) AS td,
+        |             cms_agg(lang) AS cms,
+        |             min(url) AS first_url
+        |      FROM wp_view)""".stripMargin).head
+    assert(row.getBoolean(0))
+    assert(math.abs(row.getLong(1) - 5000L) < 300)
+    assert(row.getDouble(2) > 0 && row.getDouble(3) > 0)
+    assert(row.getLong(4) > 1000) // en ~ 40% of 5000
+  }
+
+  test("ebf_merge_agg over per-group sketches equals direct global build") {
+    val perLang = wp.groupBy("lang").agg(expr("ebf_agg(url)").as("sk"))
+    val merged = perLang.agg(expr("ebf_merge_agg(sk)")).head.getAs[Array[Byte]](0)
+    val direct = wp.agg(expr("ebf_agg(url)")).head.getAs[Array[Byte]](0)
+    assert(java.util.Arrays.equals(merged, direct))
+  }
+}
