@@ -46,7 +46,8 @@ object SparkEntry {
     graft.queries.SketchQueries.queries ++
     graft.queries.PipelineQueries.queries ++
     graft.queries.DataPipelineQueries.queries ++
-    graft.queries.WebPagesQueries.queries
+    graft.queries.WebPagesQueries.queries ++
+    graft.queries.RelationalQueries.queries
 
   private def baseQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---------------------------------------------------------- EBF
@@ -89,7 +90,8 @@ object SparkEntry {
     graft.queries.SketchQueries.oracleSql ++
     graft.queries.PipelineQueries.oracleSql ++
     graft.queries.DataPipelineQueries.oracleSql ++
-    graft.queries.WebPagesQueries.oracleSql
+    graft.queries.WebPagesQueries.oracleSql ++
+    graft.queries.RelationalQueries.oracleSql
 
   private def baseOracleSql: Map[String, String] = Map(
     "ebf_member_probe" ->

@@ -35,8 +35,13 @@ object Hash128 {
   }
 
   /** MurmurHash3_x64_128 over a byte array. */
-  def hashBytes(data: Array[Byte], seed: Long): H = {
-    val len = data.length
+  def hashBytes(data: Array[Byte], seed: Long): H =
+    hashBytesRange(data, 0, data.length, seed)
+
+  /** Range variant: hash `data[off, off+len)` without slicing — lets
+    * tokenizing aggregators hash token spans with zero per-token
+    * allocation. Identical result to hashing the copied slice. */
+  def hashBytesRange(data: Array[Byte], off: Int, len: Int, seed: Long): H = {
     val nblocks = len / 16
     var h1 = seed
     var h2 = seed
@@ -44,7 +49,7 @@ object Hash128 {
     // body
     var i = 0
     while (i < nblocks) {
-      val base = i * 16
+      val base = off + i * 16
       var k1 = getLongLE(data, base)
       var k2 = getLongLE(data, base + 8)
       k1 *= C1; k1 = rotl64(k1, 31); k1 *= C2; h1 ^= k1
@@ -55,7 +60,7 @@ object Hash128 {
     }
 
     // tail
-    val tail = nblocks * 16
+    val tail = off + nblocks * 16
     var k1 = 0L
     var k2 = 0L
     val rem = len & 15

@@ -10,11 +10,12 @@ import java.nio.ByteBuffer
   * identical under arbitrary partition merge orderings.
   *
   * Standard error sigma = 1.04 / sqrt(2^p); p = 12 (4 KiB) gives ~1.6%.
+  * Header fields are vars solely for [[BytesSerde]] re-init.
   */
-final class Hll(val p: Int, val seed: Long) extends Serializable {
+final class Hll(var p: Int, var seed: Long) extends BytesSerde {
   require(p >= 4 && p <= 18, s"p must be in [4,18], got $p")
 
-  val m: Int = 1 << p
+  @inline def m: Int = 1 << p
   private[core] var regs: Array[Byte] = new Array[Byte](m)
 
   @inline def addHash(h: Long): Unit = {
@@ -73,6 +74,16 @@ final class Hll(val p: Int, val seed: Long) extends Serializable {
     buf.put(regs)
     buf.array()
   }
+
+  private[core] def loadBytes(bytes: Array[Byte]): Unit = {
+    val in = ByteBuffer.wrap(bytes)
+    val magic = in.getInt()
+    require(magic == Hll.MAGIC, f"bad HLL magic 0x$magic%08x")
+    p = in.getInt()
+    seed = in.getLong()
+    regs = new Array[Byte](m)
+    in.get(regs)
+  }
 }
 
 object Hll {
@@ -83,13 +94,8 @@ object Hll {
   def empty(p: Int = DefaultP, seed: Long = DefaultSeed): Hll = new Hll(p, seed)
 
   def fromBytes(bytes: Array[Byte]): Hll = {
-    val in = ByteBuffer.wrap(bytes)
-    val magic = in.getInt()
-    require(magic == MAGIC, f"bad HLL magic 0x$magic%08x")
-    val p = in.getInt()
-    val seed = in.getLong()
-    val h = new Hll(p, seed)
-    in.get(h.regs)
+    val h = new Hll(4, 0L)
+    h.loadBytes(bytes)
     h
   }
 }

@@ -3,6 +3,32 @@ package graft.core
 import java.nio.ByteBuffer
 import scala.collection.mutable.ArrayBuffer
 
+/** Growable primitive double buffer: `ArrayBuffer[Double]` boxes every
+  * element (one heap object per inserted value) — at millions of
+  * sketch-updates per second the boxing dominated the allocator. */
+private[core] final class DBuf(initCap: Int) extends Serializable {
+  private[core] var a: Array[Double] = new Array[Double](initCap)
+  private[core] var size: Int = 0
+  @inline def apply(i: Int): Double = a(i)
+  @inline def add(v: Double): Unit = {
+    if (size == a.length) a = java.util.Arrays.copyOf(a, math.max(8, a.length * 2))
+    a(size) = v
+    size += 1
+  }
+  def addAll(o: DBuf): Unit = {
+    if (size + o.size > a.length)
+      a = java.util.Arrays.copyOf(a, math.max(size + o.size, a.length * 2))
+    System.arraycopy(o.a, 0, a, size, o.size)
+    size += o.size
+  }
+  def clear(): Unit = size = 0
+  def sortedCopy: Array[Double] = {
+    val c = java.util.Arrays.copyOf(a, size)
+    java.util.Arrays.sort(c)
+    c
+  }
+}
+
 /** KLL quantiles sketch over doubles, implemented from the published
   * algorithm (Karnin, Lang, Liberty 2016). A hierarchy of compactors:
   * level i holds items of weight 2^i; when the sketch exceeds its
@@ -23,11 +49,10 @@ import scala.collection.mutable.ArrayBuffer
   * differs) — unlike EBF/HLL/CMS, and exactly as with the reference
   * DataSketches implementation.
   */
-final class Kll(val k: Int) extends Serializable {
+final class Kll(var k: Int) extends BytesSerde {
   require(k >= 8 && k <= 65535, s"k must be in [8,65535], got $k")
 
-  private[core] var levels: ArrayBuffer[ArrayBuffer[Double]] =
-    ArrayBuffer(new ArrayBuffer[Double](k))
+  private[core] var levels: ArrayBuffer[DBuf] = ArrayBuffer(new DBuf(16))
   var n: Long = 0L
   var minV: Double = Double.NaN
   var maxV: Double = Double.NaN
@@ -49,7 +74,7 @@ final class Kll(val k: Int) extends Serializable {
 
   def add(v: Double): Unit = {
     if (java.lang.Double.isNaN(v)) return
-    levels(0) += v
+    levels(0).add(v)
     numItems += 1
     n += 1
     if (n == 1L) { minV = v; maxV = v }
@@ -66,18 +91,17 @@ final class Kll(val k: Int) extends Serializable {
     var l = 0
     var target = -1
     while (l < numLevels && target < 0) {
-      if (levels(l).length >= capacity(l, numLevels)) target = l
+      if (levels(l).size >= capacity(l, numLevels)) target = l
       l += 1
     }
     if (target < 0) target = 0 // shouldn't happen; compact level 0 defensively
     val buf = levels(target)
-    if (buf.length < 2) return
-    val arr = buf.toArray
-    java.util.Arrays.sort(arr)
+    if (buf.size < 2) return
+    val arr = buf.sortedCopy
     val odd = arr.length % 2 == 1
     val offset = ((flips >>> target) & 1L).toInt
     flips ^= 1L << target
-    if (levels.length == target + 1) levels += new ArrayBuffer[Double](8)
+    if (levels.length == target + 1) levels += new DBuf(8)
     val next = levels(target + 1)
     buf.clear()
     // if odd, retain one item at this level so total weight is conserved:
@@ -86,13 +110,13 @@ final class Kll(val k: Int) extends Serializable {
     var start = 0
     var end = arr.length
     if (odd) {
-      if (offset == 0) { buf += arr(0); start = 1 }
-      else { buf += arr(end - 1); end -= 1 }
+      if (offset == 0) { buf.add(arr(0)); start = 1 }
+      else { buf.add(arr(end - 1)); end -= 1 }
     }
     var i = start + offset
     var promoted = 0
     while (i < end) {
-      next += arr(i)
+      next.add(arr(i))
       promoted += 1
       i += 2
     }
@@ -108,11 +132,11 @@ final class Kll(val k: Int) extends Serializable {
   def merge(other: Kll): Kll = {
     require(k == other.k, "cannot merge KLLs with different k")
     if (other.n == 0) return this
-    while (levels.length < other.levels.length) levels += new ArrayBuffer[Double](8)
+    while (levels.length < other.levels.length) levels += new DBuf(8)
     var l = 0
     while (l < other.levels.length) {
-      levels(l) ++= other.levels(l)
-      numItems += other.levels(l).length
+      levels(l).addAll(other.levels(l))
+      numItems += other.levels(l).size
       l += 1
     }
     if (n == 0L) { minV = other.minV; maxV = other.maxV }
@@ -134,7 +158,7 @@ final class Kll(val k: Int) extends Serializable {
       val buf = levels(l)
       val w = 1L << l
       var i = 0
-      while (i < buf.length) {
+      while (i < buf.size) {
         if (buf(i) <= v) weightBelow += w
         i += 1
       }
@@ -152,7 +176,7 @@ final class Kll(val k: Int) extends Serializable {
     // gather (item, weight)
     var total = 0
     var l = 0
-    while (l < levels.length) { total += levels(l).length; l += 1 }
+    while (l < levels.length) { total += levels(l).size; l += 1 }
     val items = new Array[Double](total)
     val weights = new Array[Long](total)
     var idx = 0
@@ -161,7 +185,7 @@ final class Kll(val k: Int) extends Serializable {
       val buf = levels(l)
       val w = 1L << l
       var i = 0
-      while (i < buf.length) { items(idx) = buf(i); weights(idx) = w; idx += 1; i += 1 }
+      while (i < buf.size) { items(idx) = buf(i); weights(idx) = w; idx += 1; i += 1 }
       l += 1
     }
     // sort by item (indirect)
@@ -183,12 +207,33 @@ final class Kll(val k: Int) extends Serializable {
     * with pmf=false; k=200 -> ~1.33%). */
   def normalizedRankError: Double = 1.969 / math.pow(k.toDouble, 0.9433)
 
-  private[core] def setNumItems(v: Int): Unit = numItems = v
+  private[core] def loadBytes(bytes: Array[Byte]): Unit = {
+    val in = ByteBuffer.wrap(bytes)
+    val magic = in.getInt()
+    require(magic == Kll.MAGIC, f"bad KLL magic 0x$magic%08x")
+    k = in.getInt()
+    n = in.getLong()
+    minV = in.getDouble()
+    maxV = in.getDouble()
+    flips = in.getLong()
+    val numLevels = in.getInt()
+    levels = ArrayBuffer.fill(numLevels)(new DBuf(8))
+    var total = 0
+    var l = 0
+    while (l < numLevels) {
+      val c = in.getInt()
+      total += c
+      var i = 0
+      while (i < c) { levels(l).add(in.getDouble()); i += 1 }
+      l += 1
+    }
+    numItems = total
+  }
 
   def toBytes: Array[Byte] = {
     var total = 0
     var l = 0
-    while (l < levels.length) { total += levels(l).length; l += 1 }
+    while (l < levels.length) { total += levels(l).size; l += 1 }
     val buf = ByteBuffer.allocate(4 + 4 + 8 + 8 + 8 + 8 + 4 + 4 * levels.length + 8 * total)
     buf.putInt(Kll.MAGIC)
     buf.putInt(k)
@@ -200,10 +245,9 @@ final class Kll(val k: Int) extends Serializable {
     l = 0
     while (l < levels.length) {
       val lv = levels(l)
-      buf.putInt(lv.length)
+      buf.putInt(lv.size)
       // canonical per-state form: sorted within level (multiset semantics)
-      val arr = lv.toArray
-      java.util.Arrays.sort(arr)
+      val arr = lv.sortedCopy
       var i = 0
       while (i < arr.length) { buf.putDouble(arr(i)); i += 1 }
       l += 1
@@ -219,27 +263,8 @@ object Kll {
   def empty(k: Int = DefaultK): Kll = new Kll(k)
 
   def fromBytes(bytes: Array[Byte]): Kll = {
-    val in = ByteBuffer.wrap(bytes)
-    val magic = in.getInt()
-    require(magic == MAGIC, f"bad KLL magic 0x$magic%08x")
-    val k = in.getInt()
-    val s = new Kll(k)
-    s.n = in.getLong()
-    s.minV = in.getDouble()
-    s.maxV = in.getDouble()
-    s.flips = in.getLong()
-    val numLevels = in.getInt()
-    s.levels = ArrayBuffer.fill(numLevels)(new ArrayBuffer[Double](8))
-    var total = 0
-    var l = 0
-    while (l < numLevels) {
-      val c = in.getInt()
-      total += c
-      var i = 0
-      while (i < c) { s.levels(l) += in.getDouble(); i += 1 }
-      l += 1
-    }
-    s.setNumItems(total)
+    val s = new Kll(8)
+    s.loadBytes(bytes)
     s
   }
 }

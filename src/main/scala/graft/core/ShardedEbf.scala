@@ -1,0 +1,80 @@
+package graft.core
+
+/** A hash-sharded Elastic Bloom Filter — the web-scale form of the
+  * global url set-membership artifact.
+  *
+  * Why sharding: a monolithic EBF over 10^12 urls is terabytes of
+  * fingerprints — it cannot exist as one object, and even at bench
+  * scale its final merge is a single-reducer serial tail (Amdahl) that
+  * caps scaling. Sharding by a deterministic hash of the key turns the
+  * build into an ordinary parallel `groupBy(shard).agg(ebf_agg(url))` —
+  * every shard is an independent normal-form EBF, so all the merge /
+  * byte-identity guarantees hold per shard — and a query touches
+  * exactly one shard. FPR is unchanged: each key's membership bits live
+  * in one shard whose load matches the global load (hash partitioning
+  * is uniform), so the per-shard bound IS the global bound.
+  *
+  * At 10^12 rows the shard table stays as a (shard, sketch) DataFrame
+  * and probes become broadcast-joins by shard id; at bench scale the
+  * shards are collected and broadcast whole.
+  */
+final class ShardedEbf(shardBytes: Array[Array[Byte]], val routeSeed: Long)
+    extends Serializable {
+  require(shardBytes.nonEmpty, "need at least one shard")
+
+  // Shards deserialize LAZILY, per JVM, on first probe: the wire bytes
+  // travel through collect/broadcast untouched (assembling hundreds of
+  // MB of filters on the driver was a serial tail), and each executor
+  // pays only for the shards its keys actually route to.
+  @transient private lazy val cache = new Array[Ebf](shardBytes.length)
+
+  @inline def numShards: Int = shardBytes.length
+
+  @inline def shardOf(key: String): Int = {
+    val h = Hash128.hash64(key, routeSeed)
+    val m = (h % numShards).toInt
+    if (m < 0) m + numShards else m
+  }
+
+  def shard(i: Int): Ebf = {
+    var e = cache(i)
+    if (e == null) {
+      cache.synchronized {
+        e = cache(i)
+        if (e == null) {
+          e = if (shardBytes(i) == null) Ebf.empty() else Ebf.fromBytes(shardBytes(i))
+          cache(i) = e
+        }
+      }
+    }
+    e
+  }
+
+  def mightContain(key: String): Boolean = shard(shardOf(key)).mightContain(key)
+
+  def n: Long = (0 until numShards).map(shard(_).n).sum
+
+  /** Conservative global bound: the worst per-shard bound. */
+  def fprBound: Double = (0 until numShards).map(shard(_).fprBound).max
+
+  def totalSizeBytes: Long =
+    shardBytes.map(b => if (b == null) 0L else b.length.toLong).sum
+
+  def maxLevel: Int = (0 until numShards).map(shard(_).level).max
+}
+
+object ShardedEbf {
+  val DefaultRouteSeed: Long = 0x5a4d
+
+  /** Assemble from (shardId, serializedSketch) rows. A shard with no
+    * rows is a legal empty filter. */
+  def fromShardBytes(rows: Seq[(Int, Array[Byte])], numShards: Int,
+                     routeSeed: Long = DefaultRouteSeed): ShardedEbf = {
+    val arr = new Array[Array[Byte]](numShards)
+    rows.foreach { case (id, bytes) =>
+      require(id >= 0 && id < numShards, s"shard id $id out of range")
+      arr(id) = bytes
+    }
+    new ShardedEbf(arr, routeSeed)
+  }
+}

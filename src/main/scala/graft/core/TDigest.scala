@@ -17,32 +17,47 @@ import java.nio.ByteBuffer
   * arbitrary merge orderings is validated in the test suite against the
   * DataSketches TDigestDouble oracle.
   */
-final class TDigest(val compression: Double) extends Serializable {
+final class TDigest(var compression: Double) extends BytesSerde {
   require(compression >= 10 && compression <= 10000,
     s"compression must be in [10,10000], got $compression")
 
-  private val maxCentroids = math.ceil(compression).toInt * 2 + 8
-  private val bufCap = math.max(64, maxCentroids * 4)
+  @inline private def maxCentroids = math.ceil(compression).toInt * 2 + 8
+  @inline private def bufCap = math.max(64, maxCentroids * 4)
 
-  private[core] var means: Array[Double] = new Array[Double](maxCentroids)
-  private[core] var weights: Array[Long] = new Array[Long](maxCentroids)
+  // Buffers grow lazily from tiny initial arrays: a distributed
+  // aggregation holds one TDigest per in-flight group — tens of
+  // thousands per task — and eagerly allocating bufCap (~430 entries)
+  // per group measurably blew partial-aggregation memory at high
+  // parallelism. Most groups never exceed a few dozen values.
+  private[core] var means: Array[Double] = new Array[Double](0)
+  private[core] var weights: Array[Long] = new Array[Long](0)
   private[core] var numCentroids: Int = 0
   var n: Long = 0L
   var minV: Double = Double.NaN
   var maxV: Double = Double.NaN
 
-  private var bufMeans: Array[Double] = new Array[Double](bufCap)
-  private var bufWeights: Array[Long] = new Array[Long](bufCap)
+  private var bufMeans: Array[Double] = new Array[Double](16)
+  private var bufWeights: Array[Long] = new Array[Long](16)
   private var bufSize: Int = 0
 
   def add(v: Double): Unit = add(v, 1L)
 
-  def add(v: Double, w: Long): Unit = {
-    if (java.lang.Double.isNaN(v) || w <= 0) return
-    if (bufSize == bufCap) mergeBuffer()
+  @inline private def pushBuf(v: Double, w: Long): Unit = {
+    if (bufSize == bufMeans.length) {
+      if (bufMeans.length < bufCap) {
+        val nc = math.min(bufCap, math.max(16, bufMeans.length * 2))
+        bufMeans = java.util.Arrays.copyOf(bufMeans, nc)
+        bufWeights = java.util.Arrays.copyOf(bufWeights, nc)
+      } else mergeBuffer()
+    }
     bufMeans(bufSize) = v
     bufWeights(bufSize) = w
     bufSize += 1
+  }
+
+  def add(v: Double, w: Long): Unit = {
+    if (java.lang.Double.isNaN(v) || w <= 0) return
+    pushBuf(v, w)
     n += w
     if (java.lang.Double.isNaN(minV) || v < minV) minV = v
     if (java.lang.Double.isNaN(maxV) || v > maxV) maxV = v
@@ -54,10 +69,7 @@ final class TDigest(val compression: Double) extends Serializable {
     other.mergeBuffer()
     var i = 0
     while (i < other.numCentroids) {
-      if (bufSize == bufCap) mergeBuffer()
-      bufMeans(bufSize) = other.means(i)
-      bufWeights(bufSize) = other.weights(i)
-      bufSize += 1
+      pushBuf(other.means(i), other.weights(i))
       i += 1
     }
     n += other.n
@@ -206,6 +218,24 @@ final class TDigest(val compression: Double) extends Serializable {
     while (i < numCentroids) { buf.putDouble(means(i)); buf.putLong(weights(i)); i += 1 }
     buf.array()
   }
+
+  private[core] def loadBytes(bytes: Array[Byte]): Unit = {
+    val in = ByteBuffer.wrap(bytes)
+    val magic = in.getInt()
+    require(magic == TDigest.MAGIC, f"bad TDigest magic 0x$magic%08x")
+    compression = in.getDouble()
+    n = in.getLong()
+    minV = in.getDouble()
+    maxV = in.getDouble()
+    numCentroids = in.getInt()
+    means = new Array[Double](numCentroids)
+    weights = new Array[Long](numCentroids)
+    bufMeans = new Array[Double](16)
+    bufWeights = new Array[Long](16)
+    bufSize = 0
+    var i = 0
+    while (i < numCentroids) { means(i) = in.getDouble(); weights(i) = in.getLong(); i += 1 }
+  }
 }
 
 object TDigest {
@@ -215,18 +245,8 @@ object TDigest {
   def empty(compression: Double = DefaultCompression): TDigest = new TDigest(compression)
 
   def fromBytes(bytes: Array[Byte]): TDigest = {
-    val in = ByteBuffer.wrap(bytes)
-    val magic = in.getInt()
-    require(magic == MAGIC, f"bad TDigest magic 0x$magic%08x")
-    val compression = in.getDouble()
-    val t = new TDigest(compression)
-    t.n = in.getLong()
-    t.minV = in.getDouble()
-    t.maxV = in.getDouble()
-    val c = in.getInt()
-    t.numCentroids = c
-    var i = 0
-    while (i < c) { t.means(i) = in.getDouble(); t.weights(i) = in.getLong(); i += 1 }
+    val t = new TDigest(10.0)
+    t.loadBytes(bytes)
     t
   }
 }

@@ -22,8 +22,9 @@ object Graft {
 
   def ensure(spark: SparkSession): SparkSession = synchronized {
     if (!spark.conf.getOption("graft.registered").contains("true")) {
-      // object-agg groups per task routinely exceed the 128 default
-      spark.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "16384")
+      // object-agg groups per task routinely exceed the 128 default;
+      // sort-based fallback would serialize buffers per row
+      spark.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1048576")
       registerAll(spark)
       spark.conf.set("graft.registered", "true")
     }
@@ -40,6 +41,7 @@ object Graft {
       Ebf.DefaultAlphaNum, Ebf.DefaultAlphaDen, SketchSeed)))
     r.register("hll_agg", udaf(new HllAgg(Hll.DefaultP, SketchSeed)))
     r.register("cms_agg", udaf(new CmsAgg(Cms.DefaultDepth, Cms.DefaultWidth, SketchSeed)))
+    r.register("cms_tokens_agg", udaf(new CmsTokensAgg(Cms.DefaultDepth, Cms.DefaultWidth, SketchSeed)))
     r.register("kll_agg", udaf(new KllAgg(Kll.DefaultK)))
     r.register("tdigest_agg", udaf(new TDigestAgg(TDigest.DefaultCompression)))
 
@@ -68,6 +70,14 @@ object Graft {
       val e = SketchCache.ebf(sk)
       EbfInfo(e.level, e.numBuckets, e.n, e.bitsSet, e.fpWidth, e.fprBound, sk.length)
     })
+    r.register("ebf_fpr", (sk: Array[Byte]) => SketchCache.ebf(sk).fprBound)
+    // deterministic shard router (same function drives groupBy-side
+    // sharding and probe-side routing of the sharded EBF)
+    r.register("graft_shard", (key: String, numShards: Int) => {
+      val h = graft.core.Hash128.hash64(key, graft.core.ShardedEbf.DefaultRouteSeed)
+      val m = (h % numShards).toInt
+      if (m < 0) m + numShards else m
+    })
     r.register("hll_estimate", (sk: Array[Byte]) => SketchCache.hll(sk).estimate)
     r.register("cms_estimate",
       (sk: Array[Byte], key: String) => SketchCache.cms(sk).estimate(key))
@@ -92,12 +102,18 @@ object Graft {
     r.register("hamming64", (a: Long, b: Long) => java.lang.Long.bitCount(a ^ b))
   }
 
-  /** Probe UDF capturing an already-deserialized sketch: the E2 pattern —
-    * sketch built once, closure-shipped to executors once, zero per-row
-    * deserialization. Preferred over `ebf_might_contain(lit(bytes), col)`
-    * in hot probe paths. */
-  def ebfProbe(spark: SparkSession, sketch: Ebf): UserDefinedFunction =
-    org.apache.spark.sql.functions.udf((key: String) => sketch.mightContain(key))
+  /** Probe UDF over a BROADCAST sketch: the E2 pattern — sketch built
+    * once, shipped via TorrentBroadcast (deserialized once per executor
+    * JVM, through the compact wire format thanks to BytesSerde), zero
+    * per-row and zero per-task deserialization. A plain closure capture
+    * would instead re-ship and re-deserialize the sketch inside every
+    * task binary — measured as the dominant cost of the probe phase at
+    * 10^6 rows. Preferred over `ebf_might_contain(lit(bytes), col)` in
+    * hot probe paths. */
+  def ebfProbe(spark: SparkSession, sketch: Ebf): UserDefinedFunction = {
+    val bc = spark.sparkContext.broadcast(sketch)
+    org.apache.spark.sql.functions.udf((key: String) => bc.value.mightContain(key))
+  }
 }
 
 /** Output row of `ebf_info` — the "sketch-size/FPR metrics" the north

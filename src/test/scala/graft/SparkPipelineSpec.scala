@@ -52,6 +52,16 @@ class SparkPipelineSpec extends AnyFunSuite {
     assert(plain === salted)
   }
 
+  test("adaptive salting (hot-only) is byte-identical to plain") {
+    val withHost = wp.withColumn("host", parse_url(col("url"), lit("HOST")))
+    def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getString(0) -> r.toSeq.tail.map(_.asInstanceOf[Array[Byte]].toSeq)).toMap
+    val plain = toMap(SaltedAgg.plainAgg(withHost, Seq("host"), specs))
+    val adaptive = toMap(SaltedAgg.adaptiveSketchAgg(withHost, Seq("host"), col("url"),
+      8, specs, hotRowThreshold = 50L, sampleFraction = 0.1))
+    assert(plain === adaptive)
+  }
+
   test("checkpoint kill + resume equals single-shot build") {
     val dir = java.nio.file.Files.createTempDirectory("graft_test_ckpt").toString
     val killed = CheckpointRunner.run(spark, wp, col("url"), 4, Seq("lang"), specs,

@@ -116,6 +116,28 @@ class EbfSpec extends AnyFunSuite {
     assert(java.util.Arrays.equals(xy.toBytes, yx.toBytes))
   }
 
+  test("Java serialization round-trips via the wire-format proxy") {
+    def javaRoundTrip[T](v: T): T = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val oos = new java.io.ObjectOutputStream(bos)
+      oos.writeObject(v); oos.close()
+      new java.io.ObjectInputStream(new java.io.ByteArrayInputStream(bos.toByteArray))
+        .readObject().asInstanceOf[T]
+    }
+    val e = Ebf.empty(m0 = 256, k = 5, l0 = 16)
+    keys("jser", 3000).foreach(e.insert)
+    val back = javaRoundTrip(e)
+    assert(java.util.Arrays.equals(e.toBytes, back.toBytes))
+    val h = Hll.empty(); (0 until 500).foreach(i => h.add(i.toLong))
+    assert(java.util.Arrays.equals(h.toBytes, javaRoundTrip(h).toBytes))
+    val c = Cms.empty(3, 64); (0 until 500).foreach(i => c.add(s"w$i"))
+    assert(java.util.Arrays.equals(c.toBytes, javaRoundTrip(c).toBytes))
+    val kl = Kll.empty(); (0 until 5000).foreach(i => kl.add(i.toDouble))
+    assert(java.util.Arrays.equals(kl.toBytes, javaRoundTrip(kl).toBytes))
+    val t = TDigest.empty(); (0 until 5000).foreach(i => t.add(i.toDouble))
+    assert(java.util.Arrays.equals(t.toBytes, javaRoundTrip(t).toBytes))
+  }
+
   test("level is capped at l0 and bound formula degrades gracefully") {
     val e = Ebf.empty(m0 = 8, k = 3, l0 = 3, alphaNum = 1, alphaDen = 2)
     keys("cap", 5000).foreach(e.insert)
