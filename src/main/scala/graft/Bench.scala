@@ -81,7 +81,10 @@ object Bench {
 
     // N = local[8] flagship (scaling baseline); small warmup run first so
     // JIT/codegen compilation doesn't land inside the timed window
-    val cpusLow = sys.env.getOrElse("SPARK_GRAFT_CPUS_LOW", "8").toInt
+    // N for the N-vs-4N pair; defaults to cpus/4 so a driver-chosen
+    // SPARK_GRAFT_CPUS always yields a sane pair
+    val cpusLow = sys.env.get("SPARK_GRAFT_CPUS_LOW").map(_.toInt)
+      .getOrElse(math.max(2, cpus / 4))
     val low: Option[Flagship.Result] = if (doScaling) {
       val s = session(cpusLow)
       Flagship.run(s, warmupPath)

@@ -96,6 +96,38 @@ class SparkPipelineSpec extends AnyFunSuite {
     assert(!readSchema.contains("html"), s"html must be pruned from scan: $readSchema")
   }
 
+  test("lang filter prunes partitions of the lang-partitioned table") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_wp_part").toString
+    wp.write.mode("overwrite").partitionBy("lang").parquet(dir)
+    val q = spark.read.parquet(dir).filter(col("lang") === "de")
+      .groupBy("lang").agg(expr("hll_agg(url)"))
+    val plan = q.queryExecution.executedPlan.toString
+    val partLine = plan.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(partLine.contains("lang"), s"expected lang partition filter in:\n$plan")
+    // only the lang=de directory is scanned
+    val cnt = spark.read.parquet(dir).filter(col("lang") === "de").count()
+    assert(cnt > 0 && cnt < 5000)
+  }
+
+  test("remaining SQL fns: kll_rank, tdigest_cdf, cms_total, hamming64, ebf_fpr, graft_shard") {
+    wp.createOrReplaceTempView("wp_fn_view")
+    val row = spark.sql(
+      """SELECT kll_rank(kll, med) AS r, tdigest_cdf(td, med) AS c,
+        |       cms_total(cms) AS tot, hamming64(7L, 5L) AS ham,
+        |       ebf_fpr(ebf) AS fpr, graft_shard('someurl', 16) AS shard
+        |FROM (SELECT kll_agg(cast(length(text) as double)) AS kll,
+        |             tdigest_agg(cast(length(text) as double)) AS td,
+        |             cms_agg(lang) AS cms, ebf_agg(url) AS ebf,
+        |             kll_quantile(kll_agg(cast(length(text) as double)), 0.5D) AS med
+        |      FROM wp_fn_view)""".stripMargin).head
+    assert(math.abs(row.getDouble(0) - 0.5) < 0.05)     // rank of the median
+    assert(math.abs(row.getDouble(1) - 0.5) < 0.05)     // cdf at the median
+    assert(row.getLong(2) === 5000L)                    // cms total = rows
+    assert(row.getInt(3) === 1)                         // 7 xor 5 = 0b010
+    assert(row.getDouble(4) > 0 && row.getDouble(4) < 1)
+    assert(row.getInt(5) >= 0 && row.getInt(5) < 16)
+  }
+
   test("extract_text invariant: stored text == re-extracted text, everywhere") {
     val bad = wp.filter(expr("extract_text(html)") =!= col("text")).count()
     assert(bad === 0L)
