@@ -15,8 +15,10 @@ import org.apache.spark.sql.SparkSession
   * efficiency and the FPR-within-bound check riding the same run.
   *
   * Env knobs: SPARK_GRAFT_SF_DIR (default sf0.1), SPARK_GRAFT_CPUS
-  * (default 32), SPARK_GRAFT_BENCH_ROWS (default 1,000,000),
-  * SPARK_GRAFT_SCALING=0 to skip the local[8] run.
+  * (default 32), SPARK_GRAFT_CPUS_LOW (default cpus/4),
+  * SPARK_GRAFT_BENCH_ROWS (default 16M; the table is generated once
+  * and cached on disk), SPARK_GRAFT_TRIALS (default 3),
+  * SPARK_GRAFT_SCALING=0 to skip the low-parallelism run.
   */
 object Bench {
 
@@ -42,7 +44,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val benchRows = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROWS", "4000000").toLong
+    val benchRows = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROWS", "16000000").toLong
     val doScaling = sys.env.getOrElse("SPARK_GRAFT_SCALING", "1") == "1"
     val benchPath = s"/root/repo/data/webpages/bench_$benchRows"
 
@@ -62,7 +64,7 @@ object Bench {
     // pure-JVM probe scales 8->32 threads at 0.92 efficiency on this
     // box, so multi-second swings between identical trials are
     // environmental. Raw per-trial numbers go to stderr for the record.
-    val trials = sys.env.getOrElse("SPARK_GRAFT_TRIALS", "5").toInt
+    val trials = sys.env.getOrElse("SPARK_GRAFT_TRIALS", "3").toInt
     def bestOf(s: SparkSession, label: String): Flagship.Result = {
       val rs = (1 to trials).map { i =>
         val r = Flagship.run(s, benchPath)
@@ -79,10 +81,9 @@ object Bench {
         docsPerSec = base.rows.toDouble / (t1 + t2 + t3))
     }
 
-    // N = local[8] flagship (scaling baseline); small warmup run first so
-    // JIT/codegen compilation doesn't land inside the timed window
-    // N for the N-vs-4N pair; defaults to cpus/4 so a driver-chosen
-    // SPARK_GRAFT_CPUS always yields a sane pair
+    // N for the N-vs-4N pair (defaults to cpus/4 so a driver-chosen
+    // SPARK_GRAFT_CPUS always yields a sane pair); a small warmup run
+    // precedes each timed batch so JIT/codegen lands outside the window
     val cpusLow = sys.env.get("SPARK_GRAFT_CPUS_LOW").map(_.toInt)
       .getOrElse(math.max(2, cpus / 4))
     val low: Option[Flagship.Result] = if (doScaling) {

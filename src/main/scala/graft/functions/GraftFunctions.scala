@@ -121,10 +121,14 @@ object Graft {
 case class EbfInfo(level: Int, numBuckets: Int, n: Long, bitsSet: Int,
                    fpWidth: Int, fprBound: Double, sizeBytes: Int)
 
-/** Per-thread deserialized-sketch cache keyed by (length, murmur128) of
-  * the serialized form. Sketch bytes arriving from a Column literal are
-  * re-materialized per row by the UDF boundary, so identity caching
-  * fails; content hashing at ~GB/s is ~100x cheaper than deserializing. */
+/** Per-thread deserialized-sketch cache. Sketch bytes arriving from a
+  * Column are re-materialized per row by the UDF boundary, so identity
+  * caching fails; instead the key is (length, murmur128 of up to four
+  * 256-byte windows) — O(1) regardless of sketch size, so probing rows
+  * against multi-MB sketches doesn't hash the whole blob per row. The
+  * windows cover header (with n and level), middle and tail; two
+  * *distinct* sketches colliding on all four windows AND length is
+  * negligible for cache-keying within a query. */
 object SketchCache {
   private final case class Key(len: Int, h1: Long, h2: Long)
 
@@ -132,9 +136,28 @@ object SketchCache {
     override def initialValue(): java.util.HashMap[Key, AnyRef] = new java.util.HashMap()
   }
 
+  private def sampleKey(bytes: Array[Byte]): Key = {
+    val n = bytes.length
+    if (n <= 1024) {
+      val h = Hash128.hashBytes(bytes, 0x5eed)
+      Key(n, h.h1, h.h2)
+    } else {
+      var h1 = 0x5eedL
+      var h2 = 0L
+      var w = 0
+      while (w < 4) {
+        val off = (n - 256).toLong * w / 3
+        val h = Hash128.hashBytesRange(bytes, off.toInt, 256, h1)
+        h1 = h.h1
+        h2 ^= h.h2
+        w += 1
+      }
+      Key(n, h1, h2)
+    }
+  }
+
   private def get[S <: AnyRef](bytes: Array[Byte], from: Array[Byte] => S): S = {
-    val h = Hash128.hashBytes(bytes, 0x5eed)
-    val key = Key(bytes.length, h.h1, h.h2)
+    val key = sampleKey(bytes)
     val m = tl.get()
     var v = m.get(key)
     if (v == null) {

@@ -37,6 +37,19 @@ object PipelineQueries {
         .orderBy("source")
     },
 
+    "ebf_shard_table_probe" -> { (s, dir) =>
+      Graft.ensure(s)
+      // the no-collect probe path: sketch table + broadcast join by shard
+      val d = docs(s, dir)
+      val table = graft.pipeline.ShardedProbe.buildShardTable(
+        d, col("doc_id").cast("string"), numShards = 8, m0 = 256)
+      graft.pipeline.ShardedProbe.probe(
+          d.select(col("doc_id"), col("doc_id").cast("string").as("key")),
+          "key", table, numShards = 8)
+        .select(col("doc_id"), col("hit"))
+        .orderBy("doc_id")
+    },
+
     "extract_text_identity" -> { (s, dir) =>
       Graft.ensure(s)
       // synthesize html from the stored text, re-extract, must round-trip
@@ -99,6 +112,8 @@ object PipelineQueries {
         "FROM (SELECT DISTINCT source FROM documents) ORDER BY source"),
     "extract_text_identity" ->
       "SELECT doc_id, TRUE AS identical FROM documents ORDER BY doc_id",
+    "ebf_shard_table_probe" ->
+      "SELECT doc_id, TRUE AS hit FROM documents ORDER BY doc_id",
     "checkpoint_resume_equivalence" ->
       ("SELECT TRUE AS killed_after_two_chunks, TRUE AS resumed_equals_single_shot, " +
         "TRUE AS all_groups_present"),
