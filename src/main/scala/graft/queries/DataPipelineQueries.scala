@@ -154,8 +154,10 @@ object DataPipelineQueries {
       Graft.ensure(s)
       val withBin = docs(s, dir).withColumn("payload", col("text").cast("binary"))
       Multimodal.enrich(withBin, "payload", Seq("doc_id"))
+        .join(withBin.select(col("doc_id"),
+          size(Multimodal.frameSample(col("payload"), 4)).as("n_frames")), "doc_id")
         .select(col("doc_id"), col("meta.n_bytes"), col("meta.sha256"),
-          col("features"))
+          col("features"), col("n_frames"))
         .orderBy("doc_id")
     },
   )
