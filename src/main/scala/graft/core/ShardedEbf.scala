@@ -26,7 +26,12 @@ final class ShardedEbf(shardBytes: Array[Array[Byte]], val routeSeed: Long)
   // travel through collect/broadcast untouched (assembling hundreds of
   // MB of filters on the driver was a serial tail), and each executor
   // pays only for the shards its keys actually route to.
-  @transient private lazy val cache = new Array[Ebf](shardBytes.length)
+  // AtomicReferenceArray (not a plain array + double-checked lock): a
+  // plain non-volatile read outside the lock has no happens-before edge
+  // with the writer, so a concurrent probe thread could observe a
+  // partially constructed Ebf.
+  @transient private lazy val cache =
+    new java.util.concurrent.atomic.AtomicReferenceArray[Ebf](shardBytes.length)
 
   @inline def numShards: Int = shardBytes.length
 
@@ -37,17 +42,14 @@ final class ShardedEbf(shardBytes: Array[Array[Byte]], val routeSeed: Long)
   }
 
   def shard(i: Int): Ebf = {
-    var e = cache(i)
-    if (e == null) {
-      cache.synchronized {
-        e = cache(i)
-        if (e == null) {
-          e = if (shardBytes(i) == null) Ebf.empty() else Ebf.fromBytes(shardBytes(i))
-          cache(i) = e
-        }
-      }
+    val cached = cache.get(i)
+    if (cached != null) cached
+    else {
+      val e = if (shardBytes(i) == null) Ebf.empty() else Ebf.fromBytes(shardBytes(i))
+      // lost race → another thread published first; use its (safely
+      // published) instance so all threads share one deserialization
+      if (cache.compareAndSet(i, null, e)) e else cache.get(i)
     }
-    e
   }
 
   def mightContain(key: String): Boolean = shard(shardOf(key)).mightContain(key)

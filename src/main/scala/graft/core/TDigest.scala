@@ -107,11 +107,15 @@ final class TDigest(var compression: Double) extends BytesSerde {
     val outW = new Array[Long](maxCentroids)
     var outN = 0
 
+    // qOf wraps non-monotonically once kLimit exceeds kOf(1.0) near the
+    // upper tail; clamp to 1.0 so the limit stays a valid quantile
+    @inline def qLimitOf(kLimit: Double): Double =
+      if (kLimit >= kOf(1.0)) 1.0 else qOf(kLimit)
+
     var curMean = ms(order(0))
     var curW = ws(order(0))
     var wSoFar = 0L // weight fully emitted before current cluster
-    var kLimit = kOf(0.0) + 1.0
-    var qLimit = qOf(kLimit)
+    var qLimit = qLimitOf(kOf(0.0) + 1.0)
 
     var j = 1
     while (j < total) {
@@ -119,7 +123,9 @@ final class TDigest(var compression: Double) extends BytesSerde {
       val m = ms(idx)
       val w = ws(idx)
       val qRight = (wSoFar + curW + w).toDouble / totalW
-      if (qRight <= qLimit && outN < maxCentroids - 1) {
+      // force absorption once the output array is full: emitting every
+      // remaining point as its own centroid would overflow outM/outW
+      if (qRight <= qLimit || outN >= maxCentroids - 1) {
         // absorb into current cluster (weighted mean)
         val nw = curW + w
         curMean = curMean + (m - curMean) * (w.toDouble / nw)
@@ -127,8 +133,7 @@ final class TDigest(var compression: Double) extends BytesSerde {
       } else {
         outM(outN) = curMean; outW(outN) = curW; outN += 1
         wSoFar += curW
-        kLimit = kOf(wSoFar.toDouble / totalW) + 1.0
-        qLimit = qOf(kLimit)
+        qLimit = qLimitOf(kOf(wSoFar.toDouble / totalW) + 1.0)
         curMean = m; curW = w
       }
       j += 1

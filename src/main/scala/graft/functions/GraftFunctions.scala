@@ -55,8 +55,12 @@ object Graft {
     // scalar functions over serialized sketches. Each deserializes via a
     // per-thread cache keyed by content hash, so probing N rows against
     // one broadcast sketch deserializes once per task, not once per row.
+    // null-guarded to mirror the aggregators' null-skipping: a null key
+    // is never inserted, so probing one answers "not a member" rather
+    // than NPE-ing (build/probe symmetry on tables with null keys)
     r.register("ebf_might_contain",
-      (sk: Array[Byte], key: String) => SketchCache.ebf(sk).mightContain(key))
+      (sk: Array[Byte], key: String) =>
+        sk != null && key != null && SketchCache.ebf(sk).mightContain(key))
     r.register("ebf_expand", (sk: Array[Byte]) => {
       val e = Ebf.fromBytes(sk); e.expand(); e.toBytes
     })
@@ -72,12 +76,17 @@ object Graft {
     })
     r.register("ebf_fpr", (sk: Array[Byte]) => SketchCache.ebf(sk).fprBound)
     // deterministic shard router (same function drives groupBy-side
-    // sharding and probe-side routing of the sharded EBF)
+    // sharding and probe-side routing of the sharded EBF); null keys
+    // route to a null shard (boxed return) so they join no shard and
+    // probe as misses instead of NPE-ing
     r.register("graft_shard", (key: String, numShards: Int) => {
-      val h = graft.core.Hash128.hash64(key, graft.core.ShardedEbf.DefaultRouteSeed)
-      val m = (h % numShards).toInt
-      if (m < 0) m + numShards else m
-    })
+      if (key == null) null
+      else {
+        val h = graft.core.Hash128.hash64(key, graft.core.ShardedEbf.DefaultRouteSeed)
+        val m = (h % numShards).toInt
+        Int.box(if (m < 0) m + numShards else m)
+      }
+    }: java.lang.Integer)
     r.register("hll_estimate", (sk: Array[Byte]) => SketchCache.hll(sk).estimate)
     r.register("cms_estimate",
       (sk: Array[Byte], key: String) => SketchCache.cms(sk).estimate(key))
@@ -131,9 +140,15 @@ case class EbfInfo(level: Int, numBuckets: Int, n: Long, bitsSet: Int,
   * negligible for cache-keying within a query. */
 object SketchCache {
   private final case class Key(len: Int, h1: Long, h2: Long)
+  // bytes kept alongside the deserialized value: a hit is confirmed with
+  // Arrays.equals before being served, so two distinct sketches whose
+  // differences all fall outside the sampled hash windows can never
+  // alias to each other's deserialized form (deserialization — the
+  // expensive part — is still skipped on a genuine hit)
+  private final case class Entry(bytes: Array[Byte], value: AnyRef)
 
-  private val tl = new ThreadLocal[java.util.HashMap[Key, AnyRef]] {
-    override def initialValue(): java.util.HashMap[Key, AnyRef] = new java.util.HashMap()
+  private val tl = new ThreadLocal[java.util.HashMap[Key, Entry]] {
+    override def initialValue(): java.util.HashMap[Key, Entry] = new java.util.HashMap()
   }
 
   private def sampleKey(bytes: Array[Byte]): Key = {
@@ -159,13 +174,16 @@ object SketchCache {
   private def get[S <: AnyRef](bytes: Array[Byte], from: Array[Byte] => S): S = {
     val key = sampleKey(bytes)
     val m = tl.get()
-    var v = m.get(key)
-    if (v == null) {
-      if (m.size() > 64) m.clear()
-      v = from(bytes)
-      m.put(key, v)
+    val e = m.get(key)
+    if (e != null && java.util.Arrays.equals(bytes, e.bytes)) e.value.asInstanceOf[S]
+    else {
+      // 256: a 64-shard table probed alongside a handful of other
+      // sketches must fit without evicting (eviction clears the map)
+      if (m.size() > 256) m.clear()
+      val v = from(bytes)
+      m.put(key, Entry(bytes, v))
+      v.asInstanceOf[S]
     }
-    v.asInstanceOf[S]
   }
 
   def ebf(b: Array[Byte]): Ebf = get(b, Ebf.fromBytes)

@@ -23,6 +23,9 @@ object ShardedProbe {
     Graft.ensure(df.sparkSession)
     val agg = udaf(new SketchAggregators.EbfAgg(m0, k, l0, 1, 8, Graft.SketchSeed))
     df.select(keyCol.as("__key"))
+      // null keys are skipped by the aggregator anyway; dropping them
+      // here avoids emitting a useless null-shard row
+      .filter(col("__key").isNotNull)
       .select(expr(s"graft_shard(__key, $numShards)").as("shard"), col("__key"))
       .groupBy("shard")
       .agg(agg(col("__key")).as("sk"))
