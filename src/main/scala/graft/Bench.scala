@@ -101,21 +101,29 @@ object Bench {
     Flagship.run(spark, warmupPath)
     val high = bestOf(spark, s"local$cpus")
 
+    val failed = scala.collection.mutable.ArrayBuffer[String]()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink materializes EVERY output column (a bare count() lets
       // Catalyst prune the expensive expressions out of the timing)
-      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() } catch {
+      val ok = try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true
+      } catch {
         case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          failed += name
+          false
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      // -1 marks a failed query so a consumer can't mistake a partial
+      // elapsed time for a passing run
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.filter(_._2 >= 0).map(_._2).sum
     val efficiency = low.map(l => high.docsPerSec / ((cpus.toDouble / cpusLow) * l.docsPerSec))
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
 
     def flagshipJson(r: Flagship.Result): String =
       s"""{"rows":${r.rows},"host_groups":${r.hostGroups},""" +
@@ -125,15 +133,39 @@ object Bench {
         f""""fpr_bound":${r.fprBound}%.6f,"ebf_level":${r.ebfLevel},""" +
         s""""false_negatives":${r.falseNegatives}}"""
 
+    // headline flagship fields, inlined (not nested objects) to keep
+    // the stdout contract line SHORT — r1's ~3.2KB line outgrew the
+    // driver's tail-capture window and arrived truncated ("parsed":
+    // null); full detail goes to BENCH/result.json instead
+    val head = new StringBuilder
+    head.append(f""","flagship_docs_per_sec":${high.docsPerSec}%.0f""")
+    efficiency.foreach(e => head.append(f""","scaling_efficiency":$e%.3f"""))
+    head.append(s""","scaling_pair":[$cpusLow,$cpus]""")
+    low.foreach(l => head.append(f""","docs_per_sec_local$cpusLow":${l.docsPerSec}%.0f"""))
+    head.append(f""","fpr_measured":${high.fprMeasured}%.6f,"fpr_bound":${high.fprBound}%.6f""")
+    head.append(s""","false_negatives":${high.falseNegatives}""")
+
+    val totalStr = f"$total%.2f"
+    val common = s""""unit":"sec","queries":$qs,"sf":"$sfDir","failed":$failedJson"""
+    val line =
+      s"""{"metric":"total","value":$totalStr,$common${head.result()},"detail":"BENCH/result.json"}"""
+
+    // full record (nested flagship objects at both parallelism levels)
     val extras = new StringBuilder
     extras.append(s""","flagship_local$cpus":${flagshipJson(high)}""")
     low.foreach(l => extras.append(s""","flagship_local$cpusLow":${flagshipJson(l)}"""))
-    efficiency.foreach(e => extras.append(f""","scaling_efficiency":$e%.3f"""))
-    extras.append(s""","scaling_pair":[$cpusLow,$cpus]""")
-    extras.append(f""","flagship_docs_per_sec":${high.docsPerSec}%.0f""")
+    val full =
+      s"""{"metric":"total","value":$totalStr,$common${head.result()}${extras.result()}}"""
+    try {
+      val out = java.nio.file.Paths.get("/root/repo/BENCH/result.json")
+      java.nio.file.Files.createDirectories(out.getParent)
+      java.nio.file.Files.writeString(out, full + "\n")
+    } catch {
+      case e: Throwable => System.err.println(s"[bench] could not write result.json: $e")
+    }
 
-    val totalStr = f"$total%.2f"
-    println(s"""{"metric":"total","value":$totalStr,"unit":"sec","queries":$qs,"sf":"$sfDir"${extras.result()}}""")
     spark.stop()
+    // the contract line goes LAST so tail-capture cannot truncate it
+    println(line)
   }
 }

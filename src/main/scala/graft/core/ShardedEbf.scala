@@ -54,6 +54,14 @@ final class ShardedEbf(shardBytes: Array[Array[Byte]], val routeSeed: Long)
 
   def mightContain(key: String): Boolean = shard(shardOf(key)).mightContain(key)
 
+  /** Byte-key probe (UTF-8 bytes hash identically to the String form) —
+    * lets callers holding UTF8String avoid a per-row String decode. */
+  def mightContain(key: Array[Byte]): Boolean = {
+    val h = Hash128.hashBytes(key, routeSeed).h1
+    val m = (h % numShards).toInt
+    shard(if (m < 0) m + numShards else m).mightContain(key)
+  }
+
   def n: Long = (0 until numShards).map(shard(_).n).sum
 
   /** Conservative global bound: the worst per-shard bound. */

@@ -1,8 +1,8 @@
 package graft.pipeline
 
-import graft.core.{Ebf, ShardedEbf}
 import graft.data.WebPagesGen
 import graft.functions.{Graft, SketchAggregators}
+import graft.plans.EbfShardedProbeExpr
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -97,31 +97,35 @@ object Flagship {
 
     // phase 3: SHARDED global EBF over all urls — a parallel
     // groupBy(shard) with no single-reducer merge tail (see ShardedEbf:
-    // a monolithic 10^12-url filter cannot exist as one object anyway)
+    // a monolithic 10^12-url filter cannot exist as one object anyway).
+    // The artifact stays a DISTRIBUTED (shard, sk) table, cached across
+    // the cluster; nothing is collected to the driver in this phase —
+    // deployment-side movement belongs to the probe (phase 4), exactly
+    // as a broadcast join charges its build-side collect to the join.
     val numShards = 64
-    val shardEbfAgg = udaf(new SketchAggregators.EbfAgg(4096, 5, 16, 1, 8, Graft.SketchSeed))
-    val (sharded, t3) = time {
-      val rows = wp
-        .select(expr(s"graft_shard(url, $numShards)").as("shard"), col("url"))
-        .groupBy("shard")
-        .agg(shardEbfAgg(col("url")).as("sk"))
-        .collect()
-        .map(r => (r.getInt(0), r.getAs[Array[Byte]](1)))
-      ShardedEbf.fromShardBytes(rows.toSeq, numShards)
+    val (shardTable, t3) = time {
+      val table = ShardedProbe.buildShardTable(wp, col("url"), numShards).cache()
+      // force materialization of every sketch byte (a bare count() lets
+      // Catalyst prune the aggregate itself)
+      table.agg(count(lit(1)), sum(length(col("sk")))).head.getLong(0)
+      table
     }
 
-    // phase 4: FPR probe with held-out non-member urls + member check
-    val bc = spark.sparkContext.broadcast(sharded)
-    val probeUdf = udf((key: String) => bc.value.mightContain(key))
+    // phase 4: FPR probe of held-out non-member urls + member sweep,
+    // through the codegen'd native expression over broadcast shards
+    // (EbfShardedProbeExpr — no UDF boundary, no per-row sketch bytes)
     val nProbes = 1000000L
-    val ((fps, falseNegs), t4) = time {
+    val ((fps, falseNegs, sharded), t4) = time {
+      val bc = ShardedProbe.broadcastShards(shardTable, numShards)
+      def hit(c: org.apache.spark.sql.Column) = EbfShardedProbeExpr.probeColumn(bc, c)
       val fp = WebPagesGen.probeUrls(spark, nProbes, member = false)
-        .toDF("url").agg(sum(when(probeUdf(col("url")), 1L).otherwise(0L)))
+        .toDF("url").agg(sum(when(hit(col("url")), 1L).otherwise(0L)))
         .head.getLong(0)
       val fn = wp.select(col("url"))
-        .agg(sum(when(!probeUdf(col("url")), 1L).otherwise(0L))).head.getLong(0)
-      (fp, fn)
+        .agg(sum(when(!hit(col("url")), 1L).otherwise(0L))).head.getLong(0)
+      (fp, fn, bc.value)
     }
+    shardTable.unpersist(blocking = false)
 
     val buildSec = t1 + t2 + t3
     Result(rows, hostGroups, langGroups, t1, t2, t3, t4,

@@ -1,6 +1,9 @@
 package graft.pipeline
 
+import graft.core.ShardedEbf
 import graft.functions.{Graft, SketchAggregators}
+import graft.plans.EbfShardedProbeExpr
+import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -30,6 +33,32 @@ object ShardedProbe {
       .groupBy("shard")
       .agg(agg(col("__key")).as("sk"))
   }
+
+  /** Deploy a shard table for probing: collect it once into a
+    * `Broadcast[ShardedEbf]`. This is the same data movement as a
+    * broadcast hash join's build side — `BroadcastExchangeExec` also
+    * collects its child to the driver before torrenting — but the
+    * probe side then runs as a codegen'd native expression with NO
+    * per-row sketch-byte materialization. A genuine byte-carrying
+    * broadcast join (see [[probe]]) copies the matched shard's ~MB `sk`
+    * binary out of the joined row for every probed key
+    * (`UnsafeRow.getBinary` copies), which is catastrophic at 10^6+
+    * probe rows; measured numbers in BENCH/PLANS.md. Beyond
+    * driver/broadcast limits (shard tables of 10s of GB), fall back to
+    * [[probe]]'s join form with a shuffled join, where each reduce
+    * partition touches ~1 shard and the per-thread SketchCache
+    * amortizes deserialization. */
+  def broadcastShards(shardTable: DataFrame, numShards: Int): Broadcast[ShardedEbf] = {
+    val rows = shardTable.collect().map(r => (r.getInt(0), r.getAs[Array[Byte]](1)))
+    val sharded = ShardedEbf.fromShardBytes(rows.toSeq, numShards)
+    shardTable.sparkSession.sparkContext.broadcast(sharded)
+  }
+
+  /** Probe `keyCol` of `keys` against broadcast shards via the native
+    * codegen'd expression; adds boolean `hit` (null keys miss). */
+  def probeBroadcast(keys: DataFrame, keyCol: Column,
+                     bc: Broadcast[ShardedEbf]): DataFrame =
+    keys.withColumn("hit", EbfShardedProbeExpr.probeColumn(bc, keyCol))
 
   /** Probe `keys(keyCol)` against a shard table; adds boolean `hit`.
     * Keys routing to an absent shard (no rows ever inserted) miss. */

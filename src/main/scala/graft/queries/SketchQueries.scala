@@ -43,20 +43,17 @@ object SketchQueries {
 
     "ebf_sharded_probe" -> { (s, dir) =>
       Graft.ensure(s)
-      // the web-scale form: parallel per-shard build, route-to-one-shard
-      // probe; no false negatives must hold across the shard boundary
+      // the web-scale form: parallel per-shard build into a distributed
+      // shard table, broadcast deployment, probe through the codegen'd
+      // native expression (EbfShardedProbeExpr); no false negatives
+      // must hold across the shard boundary
       val numShards = 8
       val d = docs(s, dir)
-      val agg = udaf(new SketchAggregators.EbfAgg(256, 5, 16, 1, 8, Graft.SketchSeed))
-      val shardRows = d
-        .select(expr(s"graft_shard(cast(doc_id as string), $numShards)").as("shard"),
-          col("doc_id").cast("string").as("key"))
-        .groupBy("shard").agg(agg(col("key")).as("sk"))
-        .collect().map(r => (r.getInt(0), r.getAs[Array[Byte]](1)))
-      val sharded = ShardedEbf.fromShardBytes(shardRows.toSeq, numShards)
-      val bc = s.sparkContext.broadcast(sharded)
-      val probe = udf((key: String) => bc.value.mightContain(key))
-      d.select(col("doc_id"), probe(col("doc_id").cast("string")).as("hit"))
+      val table = graft.pipeline.ShardedProbe.buildShardTable(
+        d, col("doc_id").cast("string"), numShards, m0 = 256)
+      val bc = graft.pipeline.ShardedProbe.broadcastShards(table, numShards)
+      d.select(col("doc_id"),
+          graft.plans.EbfShardedProbeExpr.probeColumn(bc, col("doc_id").cast("string")).as("hit"))
         .orderBy("doc_id")
     },
 
