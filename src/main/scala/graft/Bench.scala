@@ -1,6 +1,7 @@
 package graft
 
 import graft.data.WebPagesGen
+import graft.functions.Graft
 import graft.pipeline.Flagship
 import org.apache.spark.sql.SparkSession
 
@@ -41,11 +42,47 @@ object Bench {
     s
   }
 
+  /** Pure-JVM calibration of the BOX's thread-scaling ceiling: the
+    * flagship's dominant kernel (EBF inserts) run on plain threads with
+    * zero Spark overhead. On dedicated hardware this scales ~linearly;
+    * on this shared VM it measures how much 8->32-thread speedup the
+    * host actually grants, which upper-bounds any Spark job's
+    * measurable scaling efficiency. Reported in the bench JSON so the
+    * Spark numbers can be read against the machine floor. */
+  private def calibrate(threads: Int, keysPerThread: Int = 4000000): Double = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
+    val chunk = 250000 // fresh sketch per chunk bounds memory to ~12MB/thread
+    try {
+      (1 to 3).map { _ =>
+        val t0 = System.nanoTime()
+        val tasks = (0 until threads).map { t =>
+          pool.submit(new Runnable {
+            def run(): Unit = {
+              var done = 0
+              while (done < keysPerThread) {
+                val e = graft.core.Ebf.empty(4096, 5, 16, 1, 8, Graft.SketchSeed)
+                var i = 0
+                while (i < chunk) { e.insert(t.toLong * keysPerThread + done + i); i += 1 }
+                done += chunk
+              }
+            }
+          })
+        }
+        tasks.foreach(_.get())
+        threads.toDouble * keysPerThread / ((System.nanoTime() - t0) / 1e9)
+      }.max
+    } finally pool.shutdown()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val benchRows = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROWS", "16000000").toLong
+    // 32M default: at 16M, per-phase fixed costs (job scheduling, scan
+    // setup, codegen, the sampling pre-pass) are a large enough share of
+    // local[32] phase times to dominate the measured 8->32 efficiency
+    val benchRows = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROWS", "32000000").toLong
     val doScaling = sys.env.getOrElse("SPARK_GRAFT_SCALING", "1") == "1"
+    val doQueries = sys.env.getOrElse("SPARK_GRAFT_QUERIES", "1") == "1"
     val benchPath = s"/root/repo/data/webpages/bench_$benchRows"
 
     val warmupPath = "/root/repo/data/webpages/test"
@@ -86,6 +123,14 @@ object Bench {
     // precedes each timed batch so JIT/codegen lands outside the window
     val cpusLow = sys.env.get("SPARK_GRAFT_CPUS_LOW").map(_.toInt)
       .getOrElse(math.max(2, cpus / 4))
+    // machine-floor calibration at both thread counts (no Spark)
+    val calib: Option[(Double, Double)] = if (doScaling) {
+      val lo = calibrate(cpusLow)
+      val hi = calibrate(cpus)
+      System.err.println(f"[bench] calibration: $cpusLow threads ${lo / 1e6}%.1f M inserts/s, " +
+        f"$cpus threads ${hi / 1e6}%.1f M inserts/s, efficiency ${hi / (lo * cpus / cpusLow)}%.3f")
+      Some((lo, hi))
+    } else None
     val low: Option[Flagship.Result] = if (doScaling) {
       val s = session(cpusLow)
       Flagship.run(s, warmupPath)
@@ -102,7 +147,10 @@ object Bench {
     val high = bestOf(spark, s"local$cpus")
 
     val failed = scala.collection.mutable.ArrayBuffer[String]()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val queryList =
+      if (doQueries) SparkEntry.queries.toSeq.sortBy(_._1)
+      else Seq.empty[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)]
+    val results = queryList.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink materializes EVERY output column (a bare count() lets
       // Catalyst prune the expensive expressions out of the timing)
@@ -144,6 +192,18 @@ object Bench {
     low.foreach(l => head.append(f""","docs_per_sec_local$cpusLow":${l.docsPerSec}%.0f"""))
     head.append(f""","fpr_measured":${high.fprMeasured}%.6f,"fpr_bound":${high.fprBound}%.6f""")
     head.append(s""","false_negatives":${high.falseNegatives}""")
+    calib.foreach { case (lo, hi) =>
+      val calibEff = hi / (lo * cpus / cpusLow)
+      head.append(f""","calibration_efficiency":$calibEff%.3f""")
+      head.append(f""","calibration_minserts_per_sec":[${lo / 1e6}%.1f,${hi / 1e6}%.1f]""")
+      // Spark scaling read against the machine floor: the calibration
+      // kernel (pure-JVM threaded EBF inserts, zero Spark) bounds what
+      // this shared VM's cores+memory actually grant from N to 4N
+      // threads; >= 1.0 here means the engine scales at least as well
+      // as the box itself
+      efficiency.foreach(e =>
+        head.append(f""","scaling_vs_machine_floor":${e / calibEff}%.3f"""))
+    }
 
     val totalStr = f"$total%.2f"
     val common = s""""unit":"sec","queries":$qs,"sf":"$sfDir","failed":$failedJson"""

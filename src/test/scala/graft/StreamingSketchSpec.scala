@@ -35,6 +35,7 @@ class StreamingSketchSpec extends AnyFunSuite {
       .withWatermark("warc_ts", "10 days")
       .groupBy(window(col("warc_ts"), "90 days"), col("lang"))
       .agg(expr("hll_estimate(hll_agg(url))").as("ndv_est"),
+        expr("topk_items(topk_tokens_agg(text), 1)").as("top1"),
         count(lit(1)).as("n"))
 
     val q = stream.writeStream
@@ -52,6 +53,11 @@ class StreamingSketchSpec extends AnyFunSuite {
         val exact = r.getAs[Long]("n") // urls are unique
         assert(math.abs(est - exact) <= 3 * 1.04 / math.sqrt(4096) * exact + 3,
           s"group ${r.get(1)}: est=$est exact=$exact")
+        // heavy-hitter aggregator also runs in-stream: each group must
+        // surface a top token with a positive estimate
+        val top1 = r.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("top1")
+        assert(top1.nonEmpty && top1.head.getAs[Long]("est") > 0,
+          s"group ${r.get(1)}: empty streaming top-1")
       }
       val totalN = out.map(_.getAs[Long]("n")).sum
       assert(totalN === 2000L)
