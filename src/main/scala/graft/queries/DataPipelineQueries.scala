@@ -144,6 +144,19 @@ object DataPipelineQueries {
         .orderBy("doc_id")
     },
 
+    // oracle-checked companion to the rows-only text_features dump:
+    // hard invariants of the deterministic text kernels, per document
+    "text_features_check" -> { (s, dir) =>
+      Graft.ensure(s)
+      docs(s, dir).select(col("doc_id"),
+          expr("quality_score(text)").between(0.0, 1.0).as("quality_in_range"),
+          (expr("bpe_token_count(text)") >= expr("token_count(text)")).as("bpe_ge_ws"),
+          expr("lang_id(text) IN ('en','fr','es','de','zh','und')").as("lang_known"),
+          (expr("doc_fingerprint(text)") =!=
+            expr("doc_fingerprint(concat(text, ' zzmut'))")).as("fingerprint_distinct"))
+        .orderBy("doc_id")
+    },
+
     // -------------------------------------------------- multimodal
     "binary_meta_check" -> { (s, dir) =>
       Graft.ensure(s)
@@ -190,6 +203,10 @@ object DataPipelineQueries {
       "SELECT TRUE AS all_planted_found",
     "ann_lsh_recall" ->
       "SELECT TRUE AS planted_recall_at_10_ge_08",
+    "text_features_check" ->
+      ("SELECT doc_id, TRUE AS quality_in_range, TRUE AS bpe_ge_ws, " +
+        "TRUE AS lang_known, TRUE AS fingerprint_distinct " +
+        "FROM documents ORDER BY doc_id"),
     "ann_bruteforce_topk" ->
       ("SELECT query_id, neighbor_id, rank FROM (" +
         "SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, " +

@@ -127,7 +127,38 @@ object SketchQueries {
         .orderBy("lang")
     },
 
+    // oracle-checked companion to the rows-only ebf_metrics dump: the
+    // struct fields the north rule requires jobs to carry are verified
+    // against exact values where exact values exist (n == count) and
+    // against hard invariants elsewhere
+    "ebf_metrics_check" -> { (s, dir) =>
+      Graft.ensure(s)
+      docs(s, dir).groupBy(col("lang"))
+        .agg(expr("ebf_info(ebf_agg(cast(doc_id as string)))").as("info"),
+          count(lit(1)).as("cnt"))
+        .select(col("lang"),
+          (col("info.n") === col("cnt")).as("n_exact"),
+          (col("info.fprBound") > 0.0 && col("info.fprBound") < 1.0).as("fpr_bound_sane"),
+          (col("info.sizeBytes") > 0 && col("info.level") >= 0).as("layout_sane"))
+        .orderBy("lang")
+    },
+
     // ---------------------------------------------------------- HLL
+    // Spark-first dividend: mergeable sketches compose with grouping
+    // sets for free — one ROLLUP pass yields per-lang AND grand-total
+    // NDV from the same partial aggregates (no second scan), each
+    // within the published HLL bound vs the exact distinct count
+    "hll_rollup_bound" -> { (s, dir) =>
+      Graft.ensure(s)
+      docs(s, dir).rollup(col("lang"))
+        .agg(expr("hll_estimate(hll_agg(cast(doc_id as string)))").as("est"),
+          countDistinct(col("doc_id")).as("exact"))
+        .select(coalesce(col("lang"), lit("ALL")).as("lang"),
+          (abs(col("est") - col("exact")) <=
+            lit(3.0 * 1.04 / math.sqrt(4096.0)) * col("exact") + lit(3.0)).as("within_bound"))
+        .orderBy("lang")
+    },
+
     "hll_events_user_ndv" -> { (s, dir) =>
       Graft.ensure(s)
       events(s, dir).groupBy(col("event_type"))
@@ -287,6 +318,12 @@ object SketchQueries {
       "SELECT TRUE AS no_false_negatives, TRUE AS fpr_within_bound",
     "hll_events_user_ndv" ->
       "SELECT event_type, TRUE AS within_bound FROM events GROUP BY event_type ORDER BY event_type",
+    "ebf_metrics_check" ->
+      ("SELECT lang, TRUE AS n_exact, TRUE AS fpr_bound_sane, TRUE AS layout_sane " +
+        "FROM documents GROUP BY lang ORDER BY lang"),
+    "hll_rollup_bound" ->
+      ("SELECT COALESCE(lang, 'ALL') AS lang, TRUE AS within_bound " +
+        "FROM documents GROUP BY ROLLUP(lang) ORDER BY lang"),
     "cms_overestimate_check" ->
       "SELECT token, TRUE AS over, TRUE AS within_eps FROM (SELECT DISTINCT unnest(string_split(text, ' ')) AS token FROM documents) ORDER BY token",
     "cms_tokens_agg_equivalence" ->
