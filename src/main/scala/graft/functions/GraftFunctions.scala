@@ -26,6 +26,13 @@ object Graft {
       // sort-based fallback would serialize buffers per row
       spark.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1048576")
       registerAll(spark)
+      // literal-sketch probes rewrite to a once-per-task deserialized
+      // native expression (see ReplaceLiteralEbfProbe); also available
+      // config-only via spark.sql.extensions=graft.plans.GraftExtensions
+      if (!spark.experimental.extraOptimizations.contains(graft.plans.ReplaceLiteralEbfProbe)) {
+        spark.experimental.extraOptimizations =
+          spark.experimental.extraOptimizations :+ graft.plans.ReplaceLiteralEbfProbe
+      }
       spark.conf.set("graft.registered", "true")
     }
     spark

@@ -47,8 +47,23 @@ object Flagship {
     * adaptive salted aggregation clusters rows through a shuffle first,
     * and shuffling the full 1KB text to compute an 8-byte length on the
     * other side is a 4GB shuffle where 30MB suffices. Project early,
-    * shuffle narrow. */
+    * shuffle narrow.
+    *
+    * Since round 2 the four sketches build through ONE fused aggregator
+    * (PerHostSketchesAgg: one converter crossing and one url hash per
+    * row instead of four and two) — byte-identical to the unfused form
+    * (SparkPipelineSpec asserts it); [[perHostSpecsUnfused]] remains the
+    * generic per-sketch form. */
   def perHostSpecs: Seq[SaltedAgg.SketchSpec] = {
+    val fused = udaf(new SketchAggregators.PerHostSketchesAgg(
+      128, 5, 16, 1, 8, 10, 160, 50.0, Graft.SketchSeed))
+    val merge = udaf(new SketchAggregators.PerHostMergeAgg)
+    Seq(SaltedAgg.SketchSpec("sk", fused(col("url"), col("text_len")), "",
+      mergeBuilder = Some(n =>
+        merge(col(s"$n.ebf"), col(s"$n.hll"), col(s"$n.kll"), col(s"$n.td")))))
+  }
+
+  def perHostSpecsUnfused: Seq[SaltedAgg.SketchSpec] = {
     val ebf = udaf(new SketchAggregators.EbfAgg(128, 5, 16, 1, 8, Graft.SketchSeed))
     val hll = udaf(new SketchAggregators.HllAgg(10, Graft.SketchSeed))
     val kll = udaf(new SketchAggregators.KllAgg(160))
@@ -80,8 +95,8 @@ object Flagship {
       // costs seconds — always materialize what you benchmark).
       val agged = SaltedAgg.adaptiveSketchAgg(withHost, Seq("lang", "host"), col("url"),
         numSalts, perHostSpecs, hotRowThreshold = 1000L)
-      val sizeSum = perHostSpecs.map(sp => length(col(sp.name)).cast("long"))
-        .reduce(_ + _)
+      val sizeSum = Seq("sk.ebf", "sk.hll", "sk.kll", "sk.td")
+        .map(f => length(col(f)).cast("long")).reduce(_ + _)
       agged.agg(count(lit(1)), sum(sizeSum)).head.getLong(0)
     }
 
@@ -104,7 +119,11 @@ object Flagship {
     // as a broadcast join charges its build-side collect to the join.
     val numShards = 64
     val (shardTable, t3) = time {
-      val table = ShardedProbe.buildShardTable(wp, col("url"), numShards).cache()
+      // clusterFirst: repartition-by-shard makes the partial aggregate
+      // the final build (measured ~1.6x at 32M: 8.4s vs 13-16s — the
+      // partial form re-merges one sketch per scan-task x shard)
+      val table = ShardedProbe.buildShardTable(wp, col("url"), numShards,
+        clusterFirst = true).cache()
       // force materialization of every sketch byte (a bare count() lets
       // Catalyst prune the aggregate itself)
       table.agg(count(lit(1)), sum(length(col("sk")))).head.getLong(0)

@@ -26,12 +26,17 @@ object SaltedAgg {
 
   /** One aggregate column routed through the two stages.
     *
-    * @param name     output column name
-    * @param build    stage-1 aggregate over raw rows, e.g. `expr("ebf_agg(url)")`
-    * @param mergeFn  SQL name of the stage-2 bytes-merge aggregator,
-    *                 e.g. "ebf_merge_agg"
+    * @param name         output column name
+    * @param build        stage-1 aggregate over raw rows, e.g. `expr("ebf_agg(url)")`
+    * @param mergeFn      SQL name of the stage-2 bytes-merge aggregator,
+    *                     e.g. "ebf_merge_agg"
+    * @param mergeBuilder optional stage-2 Column builder (receives the
+    *                     stage-1 output column name) for aggregates whose
+    *                     merge takes something other than one bytes
+    *                     column — e.g. the fused per-host struct
     */
-  final case class SketchSpec(name: String, build: Column, mergeFn: String)
+  final case class SketchSpec(name: String, build: Column, mergeFn: String,
+                              mergeBuilder: Option[String => Column] = None)
 
   /** Two-stage skew-safe aggregation.
     *
@@ -50,11 +55,14 @@ object SaltedAgg {
       .repartition(clusterParts(df), (keys :+ "__salt").map(col): _*)
       .groupBy((keys :+ "__salt").map(col): _*)
       .agg(s1Aggs.head, s1Aggs.tail: _*)
-    val s2Aggs = specs.map(sp => expr(s"${sp.mergeFn}(${sp.name})").as(sp.name))
+    val s2Aggs = specs.map(sp => mergeCol(sp).as(sp.name))
     stage1
       .groupBy(keys.map(col): _*)
       .agg(s2Aggs.head, s2Aggs.tail: _*)
   }
+
+  private def mergeCol(sp: SketchSpec): Column =
+    sp.mergeBuilder.map(_(sp.name)).getOrElse(expr(s"${sp.mergeFn}(${sp.name})"))
 
   /** Explicit partition count for the clustering shuffle: AQE would
     * otherwise coalesce it toward 64MB partitions, capping the
@@ -117,7 +125,7 @@ object SaltedAgg {
       .repartition(clusterParts(df), (keys :+ "__salt").map(col): _*)
       .groupBy((keys :+ "__salt").map(col): _*)
       .agg(s1Aggs.head, s1Aggs.tail: _*)
-    val s2Aggs = specs.map(sp => expr(s"${sp.mergeFn}(${sp.name})").as(sp.name))
+    val s2Aggs = specs.map(sp => mergeCol(sp).as(sp.name))
     stage1
       .groupBy(keys.map(col): _*)
       .agg(s2Aggs.head, s2Aggs.tail: _*)

@@ -20,16 +20,28 @@ import org.apache.spark.sql.functions._
   */
 object ShardedProbe {
 
-  /** Build the `(shard, sk)` sketch table over `keyCol`. */
+  /** Build the `(shard, sk)` sketch table over `keyCol`.
+    *
+    * `clusterFirst = true` repartitions by shard BEFORE the aggregation:
+    * the partial aggregate then sees only whole shards, so it IS the
+    * final build and the reduce side merges ~1 sketch instead of
+    * re-merging one partial sketch per (scan task x shard) — trading a
+    * raw-key shuffle for the elimination of the double build+merge.
+    * Worth it when keys are narrow relative to sketch bytes shuffled
+    * (scanTasks x numShards partials); measured in BENCH/BASELINE.md. */
   def buildShardTable(df: DataFrame, keyCol: Column, numShards: Int,
-                      m0: Int = 4096, k: Int = 5, l0: Int = 16): DataFrame = {
+                      m0: Int = 4096, k: Int = 5, l0: Int = 16,
+                      clusterFirst: Boolean = false): DataFrame = {
     Graft.ensure(df.sparkSession)
     val agg = udaf(new SketchAggregators.EbfAgg(m0, k, l0, 1, 8, Graft.SketchSeed))
-    df.select(keyCol.as("__key"))
+    val keyed = df.select(keyCol.as("__key"))
       // null keys are skipped by the aggregator anyway; dropping them
       // here avoids emitting a useless null-shard row
       .filter(col("__key").isNotNull)
       .select(expr(s"graft_shard(__key, $numShards)").as("shard"), col("__key"))
+    val clustered =
+      if (clusterFirst) keyed.repartition(numShards, col("shard")) else keyed
+    clustered
       .groupBy("shard")
       .agg(agg(col("__key")).as("sk"))
   }

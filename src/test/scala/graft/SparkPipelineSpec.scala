@@ -62,6 +62,28 @@ class SparkPipelineSpec extends AnyFunSuite {
     assert(plain === adaptive)
   }
 
+  test("fused per-host aggregator is byte-identical to the four separate aggregators") {
+    import graft.pipeline.Flagship
+    val withHost = wp
+      .select(col("lang"), col("url"), length(col("text")).cast("double").as("text_len"))
+      .withColumn("host", parse_url(col("url"), lit("HOST")))
+    def run(specs: Seq[SaltedAgg.SketchSpec], flatten: Boolean) = {
+      val df = SaltedAgg.adaptiveSketchAgg(withHost, Seq("lang", "host"), col("url"),
+        8, specs, hotRowThreshold = 50L, sampleFraction = 0.1)
+      val cols =
+        if (flatten) Seq(col("lang"), col("host"), col("sk.ebf"), col("sk.hll"),
+          col("sk.kll"), col("sk.td"))
+        else Seq(col("lang"), col("host"), col("ebf"), col("hll"), col("kll"), col("td"))
+      df.select(cols: _*).collect().map(r =>
+        (r.getString(0), r.getString(1)) ->
+          (2 to 5).map(r.getAs[Array[Byte]](_).toSeq)).toMap
+    }
+    val fused = run(Flagship.perHostSpecs, flatten = true)
+    val separate = run(Flagship.perHostSpecsUnfused, flatten = false)
+    assert(fused.keySet === separate.keySet)
+    assert(fused === separate)
+  }
+
   test("checkpoint kill + resume equals single-shot build") {
     val dir = java.nio.file.Files.createTempDirectory("graft_test_ckpt").toString
     val killed = CheckpointRunner.run(spark, wp, col("url"), 4, Seq("lang"), specs,
