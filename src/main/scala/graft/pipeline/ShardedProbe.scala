@@ -72,6 +72,40 @@ object ShardedProbe {
                      bc: Broadcast[ShardedEbf]): DataFrame =
     keys.withColumn("hit", EbfShardedProbeExpr.probeColumn(bc, keyCol))
 
+  /** The beyond-broadcast-limits probe: co-group keys and shards by
+    * shard id. Both sides shuffle on `shard`; the cogroup function
+    * receives each shard's sketch bytes exactly ONCE per group and the
+    * full (lazily streamed) key iterator, so the sketch is deserialized
+    * once per shard with zero per-row byte copies, no broadcast, and no
+    * driver collect anywhere — correct for shard tables of any size
+    * (scale the shard count with the key volume). Returns
+    * `(key string, hit boolean)`; null keys miss; keys routing to an
+    * absent shard miss.
+    *
+    * Cost shape: one full shuffle of the probe keys (narrow rows) + one
+    * tiny shuffle of the shard table — vs zero probe-side shuffle for
+    * [[probeBroadcast]]. Use the broadcast form whenever the shard
+    * table fits an executor; this form exists for when it cannot. */
+  def probeCogrouped(keys: DataFrame, keyCol: Column, shardTable: DataFrame,
+                     numShards: Int): DataFrame = {
+    val spark = keys.sparkSession
+    Graft.ensure(spark)
+    import spark.implicits._
+    val keyDs = keys.select(keyCol.cast("string").as("key"))
+    val grouped = keyDs.filter(col("key").isNotNull)
+      .select(expr(s"graft_shard(key, $numShards)").as("shard"), col("key"))
+      .as[(Int, String)].groupByKey(_._1)
+    val shards = shardTable.select(col("shard").cast("int"), col("sk"))
+      .as[(Int, Array[Byte])].groupByKey(_._1)
+    val probed = grouped.cogroup(shards) { (_, ks, sks) =>
+      val sk = if (sks.hasNext) graft.core.Ebf.fromBytes(sks.next()._2) else null
+      if (sk == null) ks.map { case (_, k) => (k, false) }
+      else ks.map { case (_, k) => (k, sk.mightContain(k)) }
+    }.toDF("key", "hit")
+    probed.unionByName(
+      keyDs.filter(col("key").isNull).select(col("key"), lit(false).as("hit")))
+  }
+
   /** Probe `keys(keyCol)` against a shard table; adds boolean `hit`.
     * Keys routing to an absent shard (no rows ever inserted) miss. */
   def probe(keys: DataFrame, keyCol: String, shardTable: DataFrame,

@@ -53,6 +53,21 @@ class EbfShardedProbeExprSpec extends AnyFunSuite {
     assert(viaExpr(None) === false)
   }
 
+  test("cogrouped (beyond-broadcast) probe agrees with broadcast probe incl. nulls and absent shards") {
+    import spark.implicits._
+    val (_, bc, table) = fixture()
+    val probes = ((0 until 3000 by 3).map(i => s"key$i") ++
+      (0 until 500).map(i => s"zz$i")).toDF("k")
+      .unionByName(spark.range(1).select(lit(null).cast("string").as("k")))
+    def toMap(df: org.apache.spark.sql.DataFrame, keyCol: String) =
+      df.collect().map(r => Option(r.getString(0)) -> r.getBoolean(1)).toMap
+    val viaBroadcast = toMap(ShardedProbe.probeBroadcast(probes, col("k"), bc)
+      .select(col("k"), col("hit")), "k")
+    val viaCogroup = toMap(ShardedProbe.probeCogrouped(probes, col("k"), table, numShards), "key")
+    assert(viaCogroup === viaBroadcast)
+    assert(viaCogroup(None) === false)
+  }
+
   test("interpreted eval matches codegen output") {
     import spark.implicits._
     val (_, bc, _) = fixture()
