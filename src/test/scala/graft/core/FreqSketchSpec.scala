@@ -106,6 +106,34 @@ class FreqSketchSpec extends AnyFunSuite {
     })
   }
 
+  test("agrees with the DataSketches frequent-items oracle on heavy hitters") {
+    // same Zipf stream into our Misra-Gries and the independent Apache
+    // DataSketches ItemsSketch; both must (a) bracket every true count
+    // within their own error bounds and (b) surface the same top-5
+    import org.apache.datasketches.frequencies.{ErrorType, ItemsSketch}
+    import org.apache.datasketches.common.ArrayOfStringsSerDe
+    val stream = zipfStream(50000, universe = 3000, seed = 11)
+    val exact = exactCounts(stream)
+    val ours = FreqSketch.empty(64)
+    val ds = new ItemsSketch[String](128) // power-of-2 map size, ~64 counters usable
+    stream.foreach { s => ours.add(s); ds.update(s) }
+    exact.foreach { case (item, c) =>
+      assert(ours.estimate(item) <= c && c <= ours.estimate(item) + ours.maxError)
+      assert(ds.getLowerBound(item) <= c && c <= ds.getUpperBound(item))
+    }
+    val exactTop = exact.toSeq.sortBy { case (i, c) => (-c, i) }.take(5).map(_._1)
+    val ourTop = ours.topK(5).map(_._1)
+    val dsTop = ds.getFrequentItems(ErrorType.NO_FALSE_NEGATIVES)
+      .sortBy(r => (-r.getEstimate, r.getItem)).take(5).map(_.getItem).toSeq
+    assert(ourTop === exactTop)
+    assert(dsTop === exactTop)
+    // serde sanity against their serde too (both round-trip)
+    val rt = ItemsSketch.getInstance(
+      org.apache.datasketches.memory.Memory.wrap(ds.toByteArray(new ArrayOfStringsSerDe)),
+      new ArrayOfStringsSerDe)
+    assert(rt.getEstimate(exactTop.head) === ds.getEstimate(exactTop.head))
+  }
+
   test("serde round-trips byte-identically and dispatches by magic") {
     val stream = zipfStream(5000, universe = 300, seed = 7)
     val f = FreqSketch.empty(32)
