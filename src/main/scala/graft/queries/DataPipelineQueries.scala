@@ -79,6 +79,21 @@ object DataPipelineQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // single-token mutations move 0-12 simhash bits on these docs
+    // (measured), so hamming<=6 blocking recovers 90-93% of planted
+    // pairs across sf0.001/0.01/0.1 — deterministic per input, asserted
+    // above the 0.85 floor
+    "dedup_simhash_recall" -> { (s, dir) =>
+      Graft.ensure(s)
+      val d = docs(s, dir)
+      val found = Dedup.simhashPairs(withNearDups(d), "text", "doc_id", maxHamming = 6)
+      val planted = d.select(col("doc_id").as("id_a"),
+        (col("doc_id") + 1000000).as("id_b"))
+      val n = planted.count()
+      val hit = planted.join(found, Seq("id_a", "id_b"), "left_semi").count()
+      s.range(1).select(lit(hit.toDouble / n >= 0.85).as("planted_recall_ge_085"))
+    },
+
     "ngram_jaccard_verify" -> { (s, dir) =>
       Graft.ensure(s)
       val aug = withNearDups(docs(s, dir))
@@ -86,6 +101,27 @@ object DataPipelineQueries {
       Dedup.ngramJaccardVerify(candidates, aug, "text", "doc_id")
         .select("id_a", "id_b", "est_jaccard", "jaccard")
         .orderBy("id_a", "id_b")
+    },
+
+    // oracle companion to the dump above: the 64-hash MinHash estimate
+    // must track exact 3-gram Jaccard within 0.25 on every candidate
+    // pair (measured max deviation 0.09-0.13 across SFs; sigma ~0.06 at
+    // J~0.5), and every planted near-dup that survives verification
+    // must be genuinely similar (exact jaccard >= 0.6; measured >= 0.89
+    // at sf0.01, candidate minimum 0.67 at sf0.1)
+    "ngram_jaccard_check" -> { (s, dir) =>
+      Graft.ensure(s)
+      val aug = withNearDups(docs(s, dir))
+      val candidates = Dedup.minhashPairs(s, aug, "text", "doc_id", threshold = 0.5)
+      val verified = Dedup.ngramJaccardVerify(candidates, aug, "text", "doc_id")
+      val planted = docs(s, dir).select(col("doc_id").as("id_a"),
+        (col("doc_id") + 1000000).as("id_b"))
+      verified.join(planted.withColumn("__planted", lit(true)),
+          Seq("id_a", "id_b"), "left")
+        .agg(
+          bool_and(abs(col("est_jaccard") - col("jaccard")) <= 0.25).as("est_within_bound"),
+          bool_and(when(col("__planted").isNotNull, col("jaccard") >= 0.6)
+            .otherwise(lit(true))).as("planted_jaccard_high"))
     },
 
     "dedup_embedding_cosine" -> { (s, dir) =>
@@ -227,6 +263,10 @@ object DataPipelineQueries {
       "SELECT TRUE AS all_planted_found",
     "dedup_embedding_recall" ->
       "SELECT TRUE AS all_planted_found",
+    "dedup_simhash_recall" ->
+      "SELECT TRUE AS planted_recall_ge_085",
+    "ngram_jaccard_check" ->
+      "SELECT TRUE AS est_within_bound, TRUE AS planted_jaccard_high",
     "ann_lsh_recall" ->
       "SELECT TRUE AS planted_recall_at_10_ge_08",
     "text_features_check" ->
