@@ -124,6 +124,38 @@ object DataPipelineQueries {
             .otherwise(lit(true))).as("planted_jaccard_high"))
     },
 
+    // the OUTPUT a dedup pipeline actually ships: the filtered corpus
+    // (keeper rows), not just the duplicate groups
+    "dedup_filtered_corpus" -> { (s, dir) =>
+      val aug = withExactDups(docs(s, dir))
+      val keepers = Dedup.exact(aug, "text", "doc_id")
+        .select(col("keeper_id").as("doc_id"))
+      aug.join(keepers, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), md5(col("text")).as("text_hash"))
+        .orderBy("doc_id")
+    },
+
+    // ------------------------------------------------------ sampling
+    // deterministic, engine-portable corpus subsampling: membership =
+    // md5(key) prefix compare — reproducible across runs, engines and
+    // partitionings (rand(seed) is none of those: Spark seeds it per
+    // partition), and oracle-EXACT because DuckDB computes the same md5
+    "sample_deterministic" -> { (s, dir) =>
+      graft.pipeline.Sampling.deterministicSample(
+          docs(s, dir), col("doc_id"), "28f5") // ~16%
+        .select("doc_id")
+        .orderBy("doc_id")
+    },
+
+    "sample_stratified" -> { (s, dir) =>
+      // per-lang rates: upsample en (50%), downsample zh (~1.6%)
+      graft.pipeline.Sampling.stratifiedSample(docs(s, dir), col("doc_id"), col("lang"),
+          Map("en" -> "8000", "fr" -> "4000", "es" -> "4000",
+              "de" -> "1999", "zh" -> "0400"))
+        .select("lang", "doc_id")
+        .orderBy("lang", "doc_id")
+    },
+
     "dedup_embedding_cosine" -> { (s, dir) =>
       Graft.ensure(s)
       // threshold 0.9 sits between the planted twins (cosine >= 0.917)
@@ -265,6 +297,23 @@ object DataPipelineQueries {
       "SELECT TRUE AS all_planted_found",
     "dedup_simhash_recall" ->
       "SELECT TRUE AS planted_recall_ge_085",
+    "dedup_filtered_corpus" ->
+      ("SELECT doc_id, md5(text) AS text_hash FROM " +
+        "(SELECT doc_id, text FROM documents " +
+        " UNION ALL SELECT doc_id + 2000000, text FROM documents) " +
+        "WHERE doc_id IN (SELECT MIN(doc_id) FROM " +
+        "(SELECT doc_id, text FROM documents " +
+        " UNION ALL SELECT doc_id + 2000000, text FROM documents) " +
+        "GROUP BY md5(text)) ORDER BY doc_id"),
+    "sample_deterministic" ->
+      ("SELECT doc_id FROM documents " +
+        "WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '28f5' ORDER BY doc_id"),
+    "sample_stratified" ->
+      ("SELECT lang, doc_id FROM documents " +
+        "WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < " +
+        "CASE lang WHEN 'en' THEN '8000' WHEN 'fr' THEN '4000' " +
+        "WHEN 'es' THEN '4000' WHEN 'de' THEN '1999' WHEN 'zh' THEN '0400' END " +
+        "ORDER BY lang, doc_id"),
     "ngram_jaccard_check" ->
       "SELECT TRUE AS est_within_bound, TRUE AS planted_jaccard_high",
     "ann_lsh_recall" ->
