@@ -51,6 +51,7 @@ object Graft {
     r.register("cms_tokens_agg", udaf(new CmsTokensAgg(Cms.DefaultDepth, Cms.DefaultWidth, SketchSeed)))
     r.register("kll_agg", udaf(new KllAgg(Kll.DefaultK)))
     r.register("tdigest_agg", udaf(new TDigestAgg(TDigest.DefaultCompression)))
+    r.register("tdigest_weighted_agg", udaf(new TDigestWeightedAgg(TDigest.DefaultCompression)))
     r.register("topk_agg", udaf(new TopKAgg(FreqSketch.DefaultCapacity)))
     r.register("topk_tokens_agg", udaf(new TopKTokensAgg(FreqSketch.DefaultCapacity)))
 

@@ -109,6 +109,25 @@ object SketchAggregators {
     def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
   }
 
+  /** Weight-carrying t-digest: quantiles of `value` where each row
+    * counts `weight` times. The workhorse of token-budget corpus
+    * selection — "find the quality cutoff c such that documents with
+    * quality >= c hold ~B tokens" is the weighted (1 - B/T) quantile of
+    * quality weighted by token count, computed in one mergeable pass
+    * with no global sort. */
+  final class TDigestWeightedAgg(compression: Double)
+      extends Aggregator[(java.lang.Double, java.lang.Long), TDigest, Array[Byte]] {
+    def zero: TDigest = TDigest.empty(compression)
+    def reduce(b: TDigest, in: (java.lang.Double, java.lang.Long)): TDigest = {
+      if (in._1 != null && in._2 != null) b.add(in._1.doubleValue(), in._2.longValue())
+      b
+    }
+    def merge(a: TDigest, b: TDigest): TDigest = a.merge(b)
+    def finish(b: TDigest): Array[Byte] = b.toBytes
+    def bufferEncoder: Encoder[TDigest] = Encoders.kryo[TDigest]
+    def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
   // ---------------- fused per-host aggregator ------------------------
 
   /** Mutable buffer holding all four flagship sketches; Kryo routes

@@ -249,6 +249,28 @@ object DataPipelineQueries {
         .orderBy("doc_id")
     },
 
+    // token-budget corpus selection, the sketch-native way: the quality
+    // cutoff that captures ~half the corpus's token mass is the
+    // weighted median of quality weighted by token count — ONE
+    // mergeable aggregation pass, no global sort, works at 10^12 docs.
+    // The check asserts the selected token mass lands within 10% of the
+    // budget (t-digest rank error + per-doc mass granularity).
+    "token_budget_selection" -> { (s, dir) =>
+      Graft.ensure(s)
+      val d = docs(s, dir).select(col("doc_id"),
+        expr("quality_score(text)").as("score"),
+        expr("token_count(text)").cast("long").as("n_tokens"))
+      val agg = d.agg(sum(col("n_tokens")).as("total"),
+        expr("tdigest_quantile(tdigest_weighted_agg(score, n_tokens), 0.5D)").as("cutoff"))
+        .head
+      val total = agg.getLong(0)
+      val cutoff = agg.getDouble(1)
+      val selected = d.filter(col("score") >= cutoff)
+        .agg(sum(col("n_tokens"))).head.getLong(0)
+      val frac = selected.toDouble / total
+      s.range(1).select(lit(math.abs(frac - 0.5) <= 0.1).as("within_tolerance"))
+    },
+
     // -------------------------------------------------- multimodal
     "binary_meta_check" -> { (s, dir) =>
       Graft.ensure(s)
@@ -318,6 +340,8 @@ object DataPipelineQueries {
       "SELECT TRUE AS est_within_bound, TRUE AS planted_jaccard_high",
     "ann_lsh_recall" ->
       "SELECT TRUE AS planted_recall_at_10_ge_08",
+    "token_budget_selection" ->
+      "SELECT TRUE AS within_tolerance",
     "text_features_check" ->
       ("SELECT doc_id, TRUE AS quality_in_range, TRUE AS bpe_ge_ws, " +
         "TRUE AS lang_known, TRUE AS fingerprint_distinct " +

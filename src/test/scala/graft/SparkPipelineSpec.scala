@@ -84,6 +84,16 @@ class SparkPipelineSpec extends AnyFunSuite {
     assert(fused === separate)
   }
 
+  test("weighted t-digest quantile tracks the exact weighted median") {
+    // values 1..1000 with weight = value: mass below c is c(c+1)/2, so
+    // the weighted median sits at c ~ 1000/sqrt(2) ~ 707
+    val df = spark.range(1, 1001).select(
+      col("id").cast("double").as("v"), col("id").as("w"))
+    val est = df.agg(expr("tdigest_quantile(tdigest_weighted_agg(v, w), 0.5D)"))
+      .head.getDouble(0)
+    assert(math.abs(est - 707.1) / 707.1 < 0.05, s"weighted median est $est")
+  }
+
   test("checkpoint kill + resume equals single-shot build") {
     val dir = java.nio.file.Files.createTempDirectory("graft_test_ckpt").toString
     val killed = CheckpointRunner.run(spark, wp, col("url"), 4, Seq("lang"), specs,
