@@ -3,7 +3,7 @@ package graft.queries
 import graft.dedup.Dedup
 import graft.functions.Graft
 import graft.multimodal.Multimodal
-import graft.similarity.Ann
+import graft.similarity.{Ann, Ivf}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -216,6 +216,28 @@ object DataPipelineQueries {
       s.range(1).select(lit(nFound.toDouble / nQ >= 0.8).as("planted_recall_at_10_ge_08"))
     },
 
+    // IVF variant of the planted-twin recall: 16 Lloyd-trained cells,
+    // probe the query's 8 nearest. On these UNclusterable random
+    // vectors IVF needs nProbe/numCells = 1/2 to reach 0.86-0.96 twin
+    // recall (measured across SFs) — the textbook degenerate case;
+    // clustered real-world embeddings need far smaller probe fractions.
+    // Asserted >= 0.8. The LSH variant (ann_lsh_recall) remains the
+    // random-data scale path.
+    "ann_ivf_recall" -> { (s, dir) =>
+      val e = embeddings(s, dir)
+      val aug = withPerturbedVecs(e)
+      val cents = Ivf.trainCentroids(aug, "vec_id", "embedding",
+        numCells = 16, iters = 3)
+      val found = Ivf.search(aug, e.select("vec_id", "embedding"), "vec_id",
+          "embedding", cents, k = 10, nProbe = 8)
+        .select("query_id", "neighbor_id")
+      val planted = e.select(col("vec_id").as("query_id"),
+        (col("vec_id") + 1000000).as("neighbor_id"))
+      val n = planted.count()
+      val hit = planted.join(found, Seq("query_id", "neighbor_id"), "left_semi").count()
+      s.range(1).select(lit(hit.toDouble / n >= 0.8).as("planted_recall_at_10_ge_08"))
+    },
+
     // -------------------------------------------------------- text
     "text_stats" -> { (s, dir) =>
       Graft.ensure(s)
@@ -339,6 +361,8 @@ object DataPipelineQueries {
     "ngram_jaccard_check" ->
       "SELECT TRUE AS est_within_bound, TRUE AS planted_jaccard_high",
     "ann_lsh_recall" ->
+      "SELECT TRUE AS planted_recall_at_10_ge_08",
+    "ann_ivf_recall" ->
       "SELECT TRUE AS planted_recall_at_10_ge_08",
     "token_budget_selection" ->
       "SELECT TRUE AS within_tolerance",
