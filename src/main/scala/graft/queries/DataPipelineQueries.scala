@@ -225,17 +225,24 @@ object DataPipelineQueries {
     // random-data scale path.
     "ann_ivf_recall" -> { (s, dir) =>
       val e = embeddings(s, dir)
-      val aug = withPerturbedVecs(e)
-      val cents = Ivf.trainCentroids(aug, "vec_id", "embedding",
-        numCells = 16, iters = 3)
-      val found = Ivf.search(aug, e.select("vec_id", "embedding"), "vec_id",
-          "embedding", cents, k = 10, nProbe = 8)
-        .select("query_id", "neighbor_id")
-      val planted = e.select(col("vec_id").as("query_id"),
-        (col("vec_id") + 1000000).as("neighbor_id"))
-      val n = planted.count()
-      val hit = planted.join(found, Seq("query_id", "neighbor_id"), "left_semi").count()
-      s.range(1).select(lit(hit.toDouble / n >= 0.8).as("planted_recall_at_10_ge_08"))
+      // 500 queries bound the rerank work at any SF (recall over 500
+      // planted twins is statistically equivalent to the full set; the
+      // nProbe/numCells = 1/2 fraction already makes this the most
+      // rerank-heavy ANN query)
+      val q = e.filter(col("vec_id") < 500)
+      val aug = withPerturbedVecs(e).cache()
+      try {
+        val cents = Ivf.trainCentroids(aug, "vec_id", "embedding",
+          numCells = 16, iters = 3)
+        val found = Ivf.search(aug, q.select("vec_id", "embedding"), "vec_id",
+            "embedding", cents, k = 10, nProbe = 8)
+          .select("query_id", "neighbor_id")
+        val planted = q.select(col("vec_id").as("query_id"),
+          (col("vec_id") + 1000000).as("neighbor_id"))
+        val n = planted.count()
+        val hit = planted.join(found, Seq("query_id", "neighbor_id"), "left_semi").count()
+        s.range(1).select(lit(hit.toDouble / n >= 0.8).as("planted_recall_at_10_ge_08"))
+      } finally aug.unpersist(blocking = false)
     },
 
     // -------------------------------------------------------- text
