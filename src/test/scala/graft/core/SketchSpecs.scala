@@ -195,6 +195,27 @@ class KllSpec extends AnyFunSuite {
 
 class TDigestSpec extends AnyFunSuite {
 
+  test("adversarial merges never overflow the centroid array (capacity guard)") {
+    // tiny compression (10 -> 28 centroid slots) + many merges of
+    // heavy-weighted wide-magnitude points: the mergeBuffer guard must
+    // force absorption at capacity instead of emitting past the array,
+    // and quantiles must stay monotone
+    val rnd = new scala.util.Random(0xad5e)
+    for (_ <- 1 to 50) {
+      val td = TDigest.empty(10.0)
+      for (_ <- 1 to rnd.nextInt(40) + 5) {
+        val other = TDigest.empty(10.0)
+        for (_ <- 1 to rnd.nextInt(400) + 1)
+          other.add(rnd.nextGaussian() * math.pow(10, rnd.nextInt(8)),
+            rnd.nextInt(1000000).toLong + 1)
+        td.merge(other)
+      }
+      assert(td.centroidCount <= 28, s"centroid overflow: ${td.centroidCount}")
+      val qs = Seq(0.0, 0.01, 0.5, 0.99, 1.0).map(td.quantile)
+      qs.zip(qs.tail).foreach { case (a, b) => assert(a <= b, s"non-monotone: $qs") }
+    }
+  }
+
   test("quantile rank error small, tails tighter than middle") {
     val rnd = new scala.util.Random(13)
     val data = (0 until 100000).map(_ => rnd.nextGaussian())
