@@ -161,7 +161,9 @@ object DataPipelineQueries {
       // threshold 0.9 sits between the planted twins (cosine >= 0.917)
       // and the strongest random pair (~0.45) — round 1 used 0.95,
       // which silently excluded all but one twin
-      val aug = withPerturbedVecs(embeddings(s, dir))
+      // cache: bucketize + two vector re-joins would otherwise replay
+      // the perturbation transform three times (the table is ~1MB)
+      val aug = withPerturbedVecs(embeddings(s, dir)).cache()
       Ann.embeddingNearDups(aug, "vec_id", "embedding", dim = 64,
           threshold = 0.9, numTables = 16, numBits = 6)
         .select("id_a", "id_b")
@@ -176,7 +178,8 @@ object DataPipelineQueries {
     "dedup_embedding_recall" -> { (s, dir) =>
       Graft.ensure(s)
       val e = embeddings(s, dir)
-      val found = Ann.embeddingNearDups(withPerturbedVecs(e), "vec_id", "embedding",
+      val aug = withPerturbedVecs(e).cache()
+      val found = Ann.embeddingNearDups(aug, "vec_id", "embedding",
         dim = 64, threshold = 0.9, numTables = 16, numBits = 6)
       val planted = e.select(col("vec_id").as("id_a"),
         (col("vec_id") + 1000000).as("id_b"))
@@ -205,7 +208,7 @@ object DataPipelineQueries {
       // neighbors (where sign-LSH cannot separate weak cosines without
       // degenerating to exhaustive scan).
       val q = embeddings(s, dir).select("vec_id", "embedding")
-      val aug = withPerturbedVecs(embeddings(s, dir))
+      val aug = withPerturbedVecs(embeddings(s, dir)).cache()
       val approx = Ann.lshTopK(aug, q, "vec_id", "embedding", 10, dim = 64,
         numTables = 16, numBits = 6)
       val planted = q.select(col("vec_id").as("query_id"),
