@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCo
 import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{BinaryType, BooleanType, DataType}
+import org.apache.spark.sql.types.{BinaryType, BooleanType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Membership probe against a LITERAL (plan-constant) serialized EBF,
@@ -27,6 +27,12 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 case class EbfLiteralProbeExpr(child: Expression, sketchBytes: Array[Byte])
     extends UnaryExpression {
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string key, got ${child.dataType}")
 
   override def dataType: DataType = BooleanType
   override def nullable: Boolean = false
@@ -71,11 +77,17 @@ object ReplaceLiteralEbfProbe extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
     case u: ScalaUDF
         if u.udfName.contains("ebf_might_contain") && u.children.size == 2 &&
-          u.children.head.foldable && u.children.head.dataType == BinaryType =>
-      u.children.head.eval() match {
-        case bytes: Array[Byte] => EbfLiteralProbeExpr(u.children(1), bytes)
-        case null => Literal(false, BooleanType)
-      }
+          u.children.head.foldable && u.children.head.dataType == BinaryType &&
+          u.children(1).dataType == StringType =>
+      // if the foldable sketch cannot be evaluated at plan time (e.g. a
+      // failing ANSI cast), leave the UDF alone — the optimizer must
+      // never fail for an expression the query might not even execute
+      try {
+        u.children.head.eval() match {
+          case bytes: Array[Byte] => EbfLiteralProbeExpr(u.children(1), bytes)
+          case null => Literal(false, BooleanType)
+        }
+      } catch { case _: Exception => u }
   }
 }
 
