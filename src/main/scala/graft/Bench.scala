@@ -7,21 +7,42 @@ import org.apache.spark.sql.SparkSession
 
 /** Driver-run benchmark: one JSON line on stdout.
   *
-  * Contract fields: metric/value/unit/queries/sf (value = total seconds
-  * across the driver-contract queries at SPARK_GRAFT_SF_DIR). Extra
-  * fields carry the BASELINE.md protocol evidence: the flagship
+  * Contract fields: metric/value/unit/sf (value = total seconds across
+  * the driver-contract queries at SPARK_GRAFT_SF_DIR). Extra fields
+  * carry the BASELINE.md protocol evidence: the flagship
   * sketch-build+merge throughput (docs/sec) on the synthetic webpages
   * bench table at TWO parallelism levels — local[8] (N) vs local[32]
   * (4N), the sandbox surrogate for N vs 4N executors — with the scaling
   * efficiency and the FPR-within-bound check riding the same run.
   *
+  * The stdout line deliberately does NOT carry the per-query timing map:
+  * rounds 1 and 2 both arrived driver-side truncated ("parsed": null)
+  * because the ~60-entry map pushed the line past the driver's
+  * tail-capture window. The line now carries only scalars + the failed
+  * list (bounded; a BenchLineSpec asserts < 1500 bytes rendered), and
+  * the full per-query map + nested flagship records live in
+  * BENCH/result.json, referenced by the line's "detail" field.
+  *
   * Env knobs: SPARK_GRAFT_SF_DIR (default sf0.1), SPARK_GRAFT_CPUS
   * (default 32), SPARK_GRAFT_CPUS_LOW (default cpus/4),
-  * SPARK_GRAFT_BENCH_ROWS (default 16M; the table is generated once
-  * and cached on disk), SPARK_GRAFT_TRIALS (default 3),
+  * SPARK_GRAFT_BENCH_ROWS (default 32M; the table is generated once
+  * and cached on disk), SPARK_GRAFT_TRIALS (default 5 — min-of-N per
+  * phase; 5 damps the shared-VM variance that put the builder's own
+  * r2 efficiency readings anywhere in 0.58-0.80),
   * SPARK_GRAFT_SCALING=0 to skip the low-parallelism run.
   */
 object Bench {
+
+  /** The driver-contract stdout line, extracted for the size spec:
+    * every field is a scalar or the (normally empty) failed list —
+    * per-query timings intentionally excluded (see object scaladoc). */
+  private[graft] def contractLine(totalSec: Double, nQueries: Int, sfDir: String,
+                                  failed: Seq[String], headline: String): String = {
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    f"""{"metric":"total","value":$totalSec%.2f,"unit":"sec","sf":"$sfDir",""" +
+      s""""queries_count":$nQueries,"failed":$failedJson$headline,""" +
+      s""""detail":"BENCH/result.json"}"""
+  }
 
   private def session(cpus: Int): SparkSession = {
     val s = SparkSession.builder()
@@ -97,14 +118,18 @@ object Bench {
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
 
-    // Per-phase minima over N trials estimate engine capability: a
-    // pure-JVM probe scales 8->32 threads at 0.92 efficiency on this
-    // box, so multi-second swings between identical trials are
-    // environmental. Raw per-trial numbers go to stderr for the record.
-    val trials = sys.env.getOrElse("SPARK_GRAFT_TRIALS", "3").toInt
-    def bestOf(s: SparkSession, label: String): Flagship.Result = {
+    // Per-phase minima over N trials estimate engine capability:
+    // multi-second swings between identical trials on this shared VM
+    // are environmental (the in-bench calibration kernel quantifies
+    // the box's wandering ceiling). Raw per-trial numbers go to stderr
+    // for the record. nProbes=0 skips the FPR probe phase — used for
+    // the low-parallelism scaling trials, where only the phase-1..3
+    // throughput enters the metric and the FPR evidence rides the
+    // high-parallelism run.
+    val trials = sys.env.getOrElse("SPARK_GRAFT_TRIALS", "5").toInt
+    def bestOf(s: SparkSession, label: String, nProbes: Long = 1000000L): Flagship.Result = {
       val rs = (1 to trials).map { i =>
-        val r = Flagship.run(s, benchPath)
+        val r = Flagship.run(s, benchPath, nProbes = nProbes)
         System.err.println(f"[bench] $label trial $i: perHost=${r.buildPerHostSec}%.2f " +
           f"cms=${r.cmsTokensSec}%.2f ebf=${r.globalEbfSec}%.2f probe=${r.probeSec}%.2f")
         r
@@ -133,8 +158,8 @@ object Bench {
     } else None
     val low: Option[Flagship.Result] = if (doScaling) {
       val s = session(cpusLow)
-      Flagship.run(s, warmupPath)
-      val r = bestOf(s, s"local$cpusLow")
+      Flagship.run(s, warmupPath, nProbes = 0)
+      val r = bestOf(s, s"local$cpusLow", nProbes = 0)
       s.stop()
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
@@ -171,7 +196,6 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.filter(_._2 >= 0).map(_._2).sum
     val efficiency = low.map(l => high.docsPerSec / ((cpus.toDouble / cpusLow) * l.docsPerSec))
-    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
 
     def flagshipJson(r: Flagship.Result): String =
       s"""{"rows":${r.rows},"host_groups":${r.hostGroups},""" +
@@ -182,9 +206,8 @@ object Bench {
         s""""false_negatives":${r.falseNegatives}}"""
 
     // headline flagship fields, inlined (not nested objects) to keep
-    // the stdout contract line SHORT — r1's ~3.2KB line outgrew the
-    // driver's tail-capture window and arrived truncated ("parsed":
-    // null); full detail goes to BENCH/result.json instead
+    // the stdout contract line SHORT; full detail goes to
+    // BENCH/result.json instead
     val head = new StringBuilder
     head.append(f""","flagship_docs_per_sec":${high.docsPerSec}%.0f""")
     efficiency.foreach(e => head.append(f""","scaling_efficiency":$e%.3f"""))
@@ -205,17 +228,17 @@ object Bench {
         head.append(f""","scaling_vs_machine_floor":${e / calibEff}%.3f"""))
     }
 
-    val totalStr = f"$total%.2f"
-    val common = s""""unit":"sec","queries":$qs,"sf":"$sfDir","failed":$failedJson"""
-    val line =
-      s"""{"metric":"total","value":$totalStr,$common${head.result()},"detail":"BENCH/result.json"}"""
+    val line = contractLine(total, results.size, sfDir, failed.toSeq, head.result())
 
-    // full record (nested flagship objects at both parallelism levels)
+    // full record: per-query timing map + nested flagship objects at
+    // both parallelism levels (everything the stdout line omits)
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val extras = new StringBuilder
     extras.append(s""","flagship_local$cpus":${flagshipJson(high)}""")
     low.foreach(l => extras.append(s""","flagship_local$cpusLow":${flagshipJson(l)}"""))
     val full =
-      s"""{"metric":"total","value":$totalStr,$common${head.result()}${extras.result()}}"""
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,""" +
+        s""""sf":"$sfDir","failed":$failedJson${head.result()}${extras.result()}}"""
     try {
       val out = java.nio.file.Paths.get("/root/repo/BENCH/result.json")
       java.nio.file.Files.createDirectories(out.getParent)

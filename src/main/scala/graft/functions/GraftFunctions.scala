@@ -99,8 +99,12 @@ object Graft {
       }
     }: java.lang.Integer)
     r.register("hll_estimate", (sk: Array[Byte]) => SketchCache.hll(sk).estimate)
+    // null key -> 0: never inserted, so its count is zero (build/probe
+    // symmetry, same rationale as ebf_might_contain's null guard; the
+    // literal-sketch rewrite mirrors this exactly — SketchScalarKinds)
     r.register("cms_estimate",
-      (sk: Array[Byte], key: String) => SketchCache.cms(sk).estimate(key))
+      (sk: Array[Byte], key: String) =>
+        if (key == null) 0L else SketchCache.cms(sk).estimate(key))
     r.register("cms_total", (sk: Array[Byte]) => SketchCache.cms(sk).total)
     r.register("kll_quantile",
       (sk: Array[Byte], q: Double) => SketchCache.kll(sk).quantile(q))

@@ -75,7 +75,14 @@ object Flagship {
       SaltedAgg.SketchSpec("td", td(col("text_len")), "tdigest_merge_agg"))
   }
 
-  def run(spark: SparkSession, tablePath: String, numSalts: Int = 32): Result = {
+  /** @param nProbes held-out non-member urls for the phase-4 FPR probe;
+    *                0 skips phase 4 entirely (fpr fields come back -1) —
+    *                used by the bench's low-parallelism scaling trials,
+    *                where the throughput metric (phases 1-3) is the only
+    *                thing measured and the FPR evidence rides the
+    *                high-parallelism run. */
+  def run(spark: SparkSession, tablePath: String, numSalts: Int = 32,
+          nProbes: Long = 1000000L): Result = {
     Graft.ensure(spark)
     val wp = spark.read.parquet(tablePath)
     val rows = wp.count()
@@ -133,23 +140,27 @@ object Flagship {
     // phase 4: FPR probe of held-out non-member urls + member sweep,
     // through the codegen'd native expression over broadcast shards
     // (EbfShardedProbeExpr — no UDF boundary, no per-row sketch bytes)
-    val nProbes = 1000000L
-    val ((fps, falseNegs, sharded), t4) = time {
-      val bc = ShardedProbe.broadcastShards(shardTable, numShards)
-      def hit(c: org.apache.spark.sql.Column) = EbfShardedProbeExpr.probeColumn(bc, c)
-      val fp = WebPagesGen.probeUrls(spark, nProbes, member = false)
-        .toDF("url").agg(sum(when(hit(col("url")), 1L).otherwise(0L)))
-        .head.getLong(0)
-      val fn = wp.select(col("url"))
-        .agg(sum(when(!hit(col("url")), 1L).otherwise(0L))).head.getLong(0)
-      (fp, fn, bc.value)
-    }
+    val ((fps, falseNegs, sharded), t4) =
+      if (nProbes <= 0) ((-1L, -1L, null: graft.core.ShardedEbf), 0.0)
+      else time {
+        val bc = ShardedProbe.broadcastShards(shardTable, numShards)
+        def hit(c: org.apache.spark.sql.Column) = EbfShardedProbeExpr.probeColumn(bc, c)
+        val fp = WebPagesGen.probeUrls(spark, nProbes, member = false)
+          .toDF("url").agg(sum(when(hit(col("url")), 1L).otherwise(0L)))
+          .head.getLong(0)
+        val fn = wp.select(col("url"))
+          .agg(sum(when(!hit(col("url")), 1L).otherwise(0L))).head.getLong(0)
+        (fp, fn, bc.value)
+      }
     shardTable.unpersist(blocking = false)
 
     val buildSec = t1 + t2 + t3
     Result(rows, hostGroups, langGroups, t1, t2, t3, t4,
       rows.toDouble / buildSec,
-      fps.toDouble / nProbes, sharded.fprBound, sharded.maxLevel,
-      sharded.totalSizeBytes, falseNegs)
+      if (sharded == null) -1.0 else fps.toDouble / nProbes,
+      if (sharded == null) -1.0 else sharded.fprBound,
+      if (sharded == null) -1 else sharded.maxLevel,
+      if (sharded == null) -1L else sharded.totalSizeBytes,
+      falseNegs)
   }
 }

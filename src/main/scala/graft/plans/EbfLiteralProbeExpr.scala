@@ -63,29 +63,74 @@ case class EbfLiteralProbeExpr(child: Expression, sketchBytes: Array[Byte])
     copy(child = newChild)
 }
 
-/** Optimizer rule: `ebf_might_contain(<foldable sketch>, key)` — the
-  * natural way to write a probe in pure SQL (`X'…'` literals, scalar
-  * subqueries folded by ConstantFolding) — becomes
-  * [[EbfLiteralProbeExpr]]. Semantics preserved exactly: null sketch
-  * probes to false (matching the UDF's null guard), null keys miss.
+/** Optimizer rule for sketch scalar functions over foldable (plan-
+  * constant) sketch arguments — the natural way to probe a collected
+  * sketch in pure SQL (`X'…'` literals, scalar subqueries folded by
+  * ConstantFolding). Three rewrites, strongest first:
+  *
+  *  1. The ENTIRE call is foldable (sketch and argument both constant,
+  *     e.g. `kll_quantile(X'…', 0.5)`, or the zero-argument scalars
+  *     `hll_estimate` / `cms_total` / `ebf_fpr` / `topk_error`): the
+  *     UDF is evaluated once at plan time and replaced by a `Literal` —
+  *     ConstantFolding cannot see into a ScalaUDF, this rule can.
+  *  2. `ebf_might_contain(<foldable sketch>, key)` with a per-row key
+  *     becomes [[EbfLiteralProbeExpr]] (null sketch folds to false,
+  *     matching the UDF's null guard; null keys miss).
+  *  3. `cms_estimate` / `topk_estimate` / `kll_quantile` / `kll_rank` /
+  *     `tdigest_quantile` / `tdigest_cdf` with a foldable sketch and a
+  *     per-row argument become [[SketchLiteralScalarExpr]], which pins
+  *     the deserialized sketch once per task (the UDF path pays a
+  *     SketchCache `Arrays.equals` memcmp of the sketch bytes per row).
+  *
+  * If a foldable argument cannot be evaluated at plan time (e.g. a
+  * failing ANSI cast), the UDF is left alone — the optimizer must never
+  * fail for an expression the query might not even execute.
   *
   * Active in any session after `Graft.ensure` (via
   * `spark.experimental.extraOptimizations`) or configured globally via
   * `spark.sql.extensions=graft.plans.GraftExtensions`.
   */
 object ReplaceLiteralEbfProbe extends Rule[LogicalPlan] {
+
+  /** Deterministic sketch scalars safe to constant-fold when every
+    * argument is foldable. ebf_expand/compress/delete are excluded on
+    * purpose: they RETURN sketches, and folding would inline multi-MB
+    * byte arrays into the plan. */
+  private val constFoldable: Set[String] =
+    SketchScalarKinds.all.keySet ++ Set("ebf_might_contain", "ebf_fpr",
+      "hll_estimate", "cms_total", "topk_error")
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
+    case u: ScalaUDF
+        if u.udfName.exists(constFoldable) && u.children.nonEmpty &&
+          u.children.forall(_.foldable) && u.deterministic =>
+      // internal and external forms coincide for Boolean/Long/Double
+      try Literal.create(u.eval(null), u.dataType)
+      catch { case _: Exception => u }
+
     case u: ScalaUDF
         if u.udfName.contains("ebf_might_contain") && u.children.size == 2 &&
           u.children.head.foldable && u.children.head.dataType == BinaryType &&
           u.children(1).dataType == StringType =>
-      // if the foldable sketch cannot be evaluated at plan time (e.g. a
-      // failing ANSI cast), leave the UDF alone — the optimizer must
-      // never fail for an expression the query might not even execute
       try {
         u.children.head.eval() match {
           case bytes: Array[Byte] => EbfLiteralProbeExpr(u.children(1), bytes)
           case null => Literal(false, BooleanType)
+        }
+      } catch { case _: Exception => u }
+
+    case u: ScalaUDF
+        if u.udfName.exists(SketchScalarKinds.all.contains) && u.children.size == 2 &&
+          u.children.head.foldable && u.children.head.dataType == BinaryType &&
+          u.children(1).dataType == SketchScalarKinds.all(u.udfName.get).argType =>
+      try {
+        u.children.head.eval() match {
+          case bytes: Array[Byte] =>
+            SketchLiteralScalarExpr(u.children(1), bytes,
+              SketchScalarKinds.all(u.udfName.get))
+          // a null sketch would NPE on the UDF path too — leave it, the
+          // error surfaces at execution (if the branch even runs)
+          case null => u
         }
       } catch { case _: Exception => u }
   }

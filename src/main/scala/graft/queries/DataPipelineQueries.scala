@@ -35,6 +35,28 @@ object DataPipelineQueries {
       d.select((col("doc_id") + 1000000).as("doc_id"),
         concat(col("text"), lit(" zzmut")).as("text")))
 
+  /** Deterministic clustered corpus for the IVF non-degenerate-probe
+    * query: `k` well-separated unit centers (hash-derived, driver-side
+    * k x dim literals), each point = its center + hash-derived +/-0.1
+    * per-component noise (within-cluster cosine ~0.95, cross-cluster
+    * ~0.25 at dim 16). Fully hash-based: identical across runs,
+    * engines and partitionings — no RNG anywhere. */
+  private def clusteredCorpus(s: SparkSession, n: Int, k: Int, dim: Int): DataFrame = {
+    val centers: Array[Array[Double]] = Array.tabulate(k) { c =>
+      val raw = Array.tabulate(dim)(d =>
+        (graft.core.Hash128.hash64(s"ctr-$c-$d", 7L) % 1000L).toDouble / 1000.0)
+      val norm = math.sqrt(raw.map(x => x * x).sum)
+      raw.map(_ / norm)
+    }
+    val centersCol = array(centers.map(c => array(c.map(lit): _*)): _*)
+    s.range(n).select(
+      col("id").as("vec_id"),
+      transform(sequence(lit(0), lit(dim - 1)), d =>
+        element_at(element_at(centersCol, (col("id") % k).cast("int") + 1), d + 1) +
+          (pmod(xxhash64(col("id"), d), lit(2001)) - lit(1000)).cast("double") / 10000.0
+      ).as("embedding"))
+  }
+
   /** embeddings + slightly perturbed copies at id+1M. The vectors are
     * unit-norm 64-dim; a +/-0.05 per-component shift gives twin cosine
     * 1/sqrt(1+0.16) ~ 0.93 (measured 0.917..0.951 at sf0.01). */
@@ -161,9 +183,14 @@ object DataPipelineQueries {
       // threshold 0.9 sits between the planted twins (cosine >= 0.917)
       // and the strongest random pair (~0.45) — round 1 used 0.95,
       // which silently excluded all but one twin
-      // cache: bucketize + two vector re-joins would otherwise replay
-      // the perturbation transform three times (the table is ~1MB)
-      val aug = withPerturbedVecs(embeddings(s, dir)).cache()
+      // NO cache here: the returned DataFrame is consumed lazily after
+      // this function exits, so a cache() could only be released by
+      // leaking it across the driver's 60-query sweep (r2's verdict
+      // flagged exactly that). Recomputing the ~1MB augmented table for
+      // the bucketize pass + two vector re-joins costs microseconds next
+      // to the LSH join itself; the eager recall queries below, whose
+      // outputs are scalars, keep the cache inside try/finally instead.
+      val aug = withPerturbedVecs(embeddings(s, dir))
       Ann.embeddingNearDups(aug, "vec_id", "embedding", dim = 64,
           threshold = 0.9, numTables = 16, numBits = 6)
         .select("id_a", "id_b")
@@ -179,13 +206,15 @@ object DataPipelineQueries {
       Graft.ensure(s)
       val e = embeddings(s, dir)
       val aug = withPerturbedVecs(e).cache()
-      val found = Ann.embeddingNearDups(aug, "vec_id", "embedding",
-        dim = 64, threshold = 0.9, numTables = 16, numBits = 6)
-      val planted = e.select(col("vec_id").as("id_a"),
-        (col("vec_id") + 1000000).as("id_b"))
-      val nPlanted = planted.count()
-      val nFound = planted.join(found, Seq("id_a", "id_b"), "left_semi").count()
-      s.range(1).select(lit(nFound == nPlanted).as("all_planted_found"))
+      try {
+        val found = Ann.embeddingNearDups(aug, "vec_id", "embedding",
+          dim = 64, threshold = 0.9, numTables = 16, numBits = 6)
+        val planted = e.select(col("vec_id").as("id_a"),
+          (col("vec_id") + 1000000).as("id_b"))
+        val nPlanted = planted.count()
+        val nFound = planted.join(found, Seq("id_a", "id_b"), "left_semi").count()
+        s.range(1).select(lit(nFound == nPlanted).as("all_planted_found"))
+      } finally aug.unpersist(blocking = false)
     },
 
     // --------------------------------------------------- similarity
@@ -209,14 +238,16 @@ object DataPipelineQueries {
       // degenerating to exhaustive scan).
       val q = embeddings(s, dir).select("vec_id", "embedding")
       val aug = withPerturbedVecs(embeddings(s, dir)).cache()
-      val approx = Ann.lshTopK(aug, q, "vec_id", "embedding", 10, dim = 64,
-        numTables = 16, numBits = 6)
-      val planted = q.select(col("vec_id").as("query_id"),
-        (col("vec_id") + 1000000).as("neighbor_id"))
-      val nQ = planted.count()
-      val nFound = planted.join(approx.select("query_id", "neighbor_id"),
-        Seq("query_id", "neighbor_id"), "left_semi").count()
-      s.range(1).select(lit(nFound.toDouble / nQ >= 0.8).as("planted_recall_at_10_ge_08"))
+      try {
+        val approx = Ann.lshTopK(aug, q, "vec_id", "embedding", 10, dim = 64,
+          numTables = 16, numBits = 6)
+        val planted = q.select(col("vec_id").as("query_id"),
+          (col("vec_id") + 1000000).as("neighbor_id"))
+        val nQ = planted.count()
+        val nFound = planted.join(approx.select("query_id", "neighbor_id"),
+          Seq("query_id", "neighbor_id"), "left_semi").count()
+        s.range(1).select(lit(nFound.toDouble / nQ >= 0.8).as("planted_recall_at_10_ge_08"))
+      } finally aug.unpersist(blocking = false)
     },
 
     // IVF variant of the planted-twin recall: 16 Lloyd-trained cells,
@@ -246,6 +277,33 @@ object DataPipelineQueries {
         val hit = planted.join(found, Seq("query_id", "neighbor_id"), "left_semi").count()
         s.range(1).select(lit(hit.toDouble / n >= 0.8).as("planted_recall_at_10_ge_08"))
       } finally aug.unpersist(blocking = false)
+    },
+
+    // IVF on data that actually CLUSTERS (the random-vector query above
+    // needs the degenerate nProbe/numCells = 1/2; real-world embeddings
+    // don't): 8 well-separated planted clusters, 16 Lloyd cells trained
+    // on a ~50% deterministic SAMPLE of the corpus (the 100 TB path —
+    // see Ivf.trainCentroids), queries probing only 2/16 cells. Exact
+    // brute-force top-10 is the ground truth; recall >= 0.8 asserted
+    // (measured ~1.0: a tight cluster maps to one cell as a unit).
+    "ann_ivf_clustered" -> { (s, _) =>
+      val corpus = clusteredCorpus(s, n = 2048, k = 8, dim = 16).cache()
+      try {
+        val numCells = 16
+        val nProbe = 2
+        val q = corpus.filter(col("vec_id") < 64)
+        val cents = Ivf.trainCentroids(corpus, "vec_id", "embedding",
+          numCells = numCells, iters = 4, trainSamplePrefix = Some("8"))
+        val exact = Ann.bruteForceTopK(corpus, q, "vec_id", "embedding", 10)
+          .select("query_id", "neighbor_id")
+        val approx = Ivf.search(corpus, q, "vec_id", "embedding", cents,
+          k = 10, nProbe = nProbe).select("query_id", "neighbor_id")
+        val nExact = exact.count()
+        val hit = exact.join(approx, Seq("query_id", "neighbor_id"), "left_semi").count()
+        s.range(1).select(
+          lit(hit.toDouble / nExact >= 0.8).as("clustered_recall_at_10_ge_08"),
+          lit(nProbe.toDouble / numCells <= 0.125).as("probe_fraction_le_eighth"))
+      } finally corpus.unpersist(blocking = false)
     },
 
     // -------------------------------------------------------- text
@@ -374,6 +432,8 @@ object DataPipelineQueries {
       "SELECT TRUE AS planted_recall_at_10_ge_08",
     "ann_ivf_recall" ->
       "SELECT TRUE AS planted_recall_at_10_ge_08",
+    "ann_ivf_clustered" ->
+      "SELECT TRUE AS clustered_recall_at_10_ge_08, TRUE AS probe_fraction_le_eighth",
     "token_budget_selection" ->
       "SELECT TRUE AS within_tolerance",
     "text_features_check" ->

@@ -274,6 +274,28 @@ object SketchQueries {
       Seq(0.1, 0.5, 0.9).map(q => (q, sk.quantile(q).toLong)).toDF("q", "est_ts_us")
     },
 
+    // oracle companion to the rows-only timestamp dump above: the exact
+    // rank of each KLL timestamp-quantile estimate must sit within the
+    // deterministic-compaction rank-error margin of the requested q
+    // (same shape as kll_rank_bound_check, over unix_micros(ts))
+    "kll_ts_quantiles_check" -> { (s, dir) =>
+      Graft.ensure(s)
+      val ev = events(s, dir)
+        .select(unix_micros(col("ts").cast("timestamp")).cast("double").as("ts_us"))
+      val sk = Kll.fromBytes(ev.select(expr("kll_agg(ts_us)")).head.getAs[Array[Byte]](0))
+      val qs = Seq(0.1, 0.5, 0.9)
+      val ests = qs.map(sk.quantile)
+      val rankAggs = ests.zipWithIndex.map { case (v, i) =>
+        (sum(when(col("ts_us") <= v, 1L).otherwise(0L)) / count(lit(1))).as(s"r$i")
+      }
+      val row = ev.agg(rankAggs.head, rankAggs.tail: _*).head
+      val eps = sk.normalizedRankError * 2.0
+      import s.implicits._
+      qs.zipWithIndex.map { case (q, i) =>
+        (q, math.abs(row.getDouble(i) - q) <= eps)
+      }.toDF("q", "within_bound").orderBy("q")
+    },
+
     // ------------------------------------------------------ t-digest
     "tdigest_doclen_q" -> { (s, dir) =>
       Graft.ensure(s)
@@ -339,6 +361,8 @@ object SketchQueries {
       "SELECT token, COUNT(*) AS cnt FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents WHERE text <> '') GROUP BY token HAVING token <> '' ORDER BY cnt DESC, token ASC LIMIT 20",
     "kll_rank_bound_check" ->
       "SELECT CAST(q AS DOUBLE) AS q, TRUE AS within_bound FROM (VALUES (0.1),(0.25),(0.5),(0.75),(0.9)) t(q) ORDER BY q",
+    "kll_ts_quantiles_check" ->
+      "SELECT CAST(q AS DOUBLE) AS q, TRUE AS within_bound FROM (VALUES (0.1),(0.5),(0.9)) t(q) ORDER BY q",
     "tdigest_bound_check" ->
       "SELECT CAST(q AS DOUBLE) AS q, TRUE AS within_tolerance FROM (VALUES (0.01),(0.1),(0.5),(0.9),(0.99)) t(q) ORDER BY q",
   )

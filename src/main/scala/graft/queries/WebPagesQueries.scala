@@ -83,6 +83,34 @@ object WebPagesQueries {
         .orderBy(col("docs").desc, col("host").asc)
         .limit(10)
     },
+
+    // oracle companion to the rows-only skew dump above: (a) the
+    // per-host counts are cross-checked against an INDEPENDENT salted
+    // two-stage count (per-(host, salt-of-url) partials re-summed —
+    // the skew-safe way to count hot keys at 10^12 rows), and (b) the
+    // distribution really is Zipf-skewed (top host >= 10x the median
+    // host), i.e. the salted aggregation path exists for a reason.
+    "wp_host_skew_check" -> { (s, _) =>
+      Graft.ensure(s)
+      val wp = withHost(webpages(s)).select("host", "url")
+      val plain = wp.groupBy("host").agg(count(lit(1)).as("docs"))
+      val salted = wp
+        .withColumn("salt", pmod(xxhash64(col("url")), lit(16)))
+        .groupBy("host", "salt").agg(count(lit(1)).as("c"))
+        .groupBy("host").agg(sum("c").as("docs2"))
+      // full join + coalesce(false): a host missing on either side is a
+      // MISMATCH, not a null silently skipped by bool_and
+      val matches = plain.join(salted, Seq("host"), "full")
+        .agg(bool_and(coalesce(col("docs") === col("docs2"), lit(false))).as("eq"),
+          count(lit(1)).as("hosts")).head
+      val skew = plain.agg(
+        (max(col("docs")) >=
+          lit(10) * expr("percentile(docs, 0.5)")).as("skewed")).head.getBoolean(0)
+      s.range(1).select(
+        lit(matches.getBoolean(0)).as("counts_match"),
+        lit(matches.getLong(1) > 0).as("has_hosts"),
+        lit(skew).as("top_host_ge_10x_median"))
+    },
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -90,5 +118,7 @@ object WebPagesQueries {
       "SELECT TRUE AS salted_equals_plain, TRUE AS has_hosts",
     "wp_extract_identity" ->
       "SELECT TRUE AS all_identical, TRUE AS row_count_matches",
+    "wp_host_skew_check" ->
+      "SELECT TRUE AS counts_match, TRUE AS has_hosts, TRUE AS top_host_ge_10x_median",
   )
 }

@@ -1,5 +1,6 @@
 package graft.similarity
 
+import graft.pipeline.Sampling
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -26,29 +27,51 @@ import org.apache.spark.sql.functions._
 object Ivf {
 
   /** Train `numCells` centroids with `iters` Lloyd iterations.
-    * Returns the centroid matrix, cell id = row index. */
+    * Returns the centroid matrix, cell id = row index.
+    *
+    * Training NEVER has to see the full corpus: pass
+    * `trainSamplePrefix` (an md5 hex threshold, see
+    * [[Sampling.deterministicSample]] — e.g. "28f5" keeps ~16%) to
+    * train on a deterministic sample. This is the 100 TB path —
+    * k-means centroids converge on ~1e5-1e6 sampled vectors regardless
+    * of corpus size, so `iters` full-corpus passes (r2's verdict item
+    * #3) become `iters` passes over a bounded, CACHED training frame;
+    * only the final cell assignment (inside [[search]]) ever maps over
+    * the whole corpus, exactly once. */
   def trainCentroids(corpus: DataFrame, idCol: String, vecCol: String,
-                     numCells: Int, iters: Int): Array[Array[Double]] = {
-    val seed = corpus.orderBy(col(idCol)).limit(numCells)
-      .select(col(vecCol).cast("array<double>"))
-      .collect().map(_.getSeq[Double](0).toArray)
-    var centroids = seed
-    var it = 0
-    while (it < iters) {
-      val assigned = corpus.select(col(vecCol).cast("array<double>").as("v"),
-        assignCell(col(vecCol), centroids).as("cell"))
-      // element-wise mean via (cell, dim) narrow rows — no full-vector
-      // single-reducer aggregation at any scale
-      val means = assigned
-        .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
-        .groupBy("cell", "dim").agg(avg(col("x")).as("m"))
-        .collect()
-      val next = centroids.map(_.clone())
-      means.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
-      centroids = next
-      it += 1
+                     numCells: Int, iters: Int,
+                     trainSamplePrefix: Option[String] = None): Array[Array[Double]] = {
+    val base = trainSamplePrefix match {
+      case Some(p) => Sampling.deterministicSample(corpus, col(idCol), p)
+      case None => corpus
     }
-    centroids
+    // one narrow projection, cached across the seed scan + all Lloyd
+    // iterations (the r2 form recomputed the input every iteration)
+    val train = base
+      .select(col(idCol).as("__id"), col(vecCol).cast("array<double>").as("v"))
+      .cache()
+    try {
+      // deterministic init: the numCells lowest-id training vectors
+      val seed = train.orderBy(col("__id")).limit(numCells)
+        .select(col("v")).collect().map(_.getSeq[Double](0).toArray)
+      var centroids = seed
+      var it = 0
+      while (it < iters) {
+        val assigned = train.select(col("v"),
+          assignCell(col("v"), centroids).as("cell"))
+        // element-wise mean via (cell, dim) narrow rows — no full-vector
+        // single-reducer aggregation at any scale
+        val means = assigned
+          .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
+          .groupBy("cell", "dim").agg(avg(col("x")).as("m"))
+          .collect()
+        val next = centroids.map(_.clone())
+        means.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+        centroids = next
+        it += 1
+      }
+      centroids
+    } finally train.unpersist(blocking = false)
   }
 
   /** Map-only nearest-centroid assignment (closure-captured centroid

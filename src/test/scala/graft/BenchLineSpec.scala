@@ -1,0 +1,51 @@
+package graft
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Guards the driver-contract stdout line: rounds 1 and 2 both arrived
+  * at the driver truncated ("parsed": null) because the line outgrew
+  * the driver's tail-capture window (~2 KB). The line must stay well
+  * under that window with realistic headline fields, and must be valid
+  * JSON exactly as rendered.
+  */
+class BenchLineSpec extends AnyFunSuite {
+
+  // the full headline block main() can ever emit: flagship throughput,
+  // scaling pair + both per-level throughputs, FPR evidence, machine
+  // floor calibration — every optional field present at once
+  private val maximalHeadline =
+    ""","flagship_docs_per_sec":1074509,"scaling_efficiency":0.803""" +
+      ""","scaling_pair":[8,32],"docs_per_sec_local8":334598""" +
+      ""","fpr_measured":0.018210,"fpr_bound":0.018402,"false_negatives":0""" +
+      ""","calibration_efficiency":0.642,"calibration_minserts_per_sec":[40.2,103.1]""" +
+      ""","scaling_vs_machine_floor":1.251"""
+
+  test("contract line with all headline fields stays under 1500 bytes") {
+    val line = Bench.contractLine(59.25, 63, "/root/testdata/sf0.1",
+      Seq.empty, maximalHeadline)
+    assert(line.length < 1500, s"line is ${line.length} bytes: $line")
+    // even a pathological failure round (10 failed queries) must fit
+    val failedLine = Bench.contractLine(59.25, 63, "/root/testdata/sf0.1",
+      (1 to 10).map(i => s"some_quite_long_query_name_$i"), maximalHeadline)
+    assert(failedLine.length < 1900, s"line is ${failedLine.length} bytes")
+  }
+
+  test("contract line is valid single-line JSON with the contract fields") {
+    val line = Bench.contractLine(59.25, 63, "/root/testdata/sf0.1",
+      Seq("q_boom"), maximalHeadline)
+    assert(!line.contains("\n"))
+    val node = new ObjectMapper().readTree(line) // throws on invalid JSON
+    assert(node.get("metric").asText() == "total")
+    assert(math.abs(node.get("value").asDouble() - 59.25) < 1e-9)
+    assert(node.get("unit").asText() == "sec")
+    assert(node.get("sf").asText() == "/root/testdata/sf0.1")
+    assert(node.get("queries_count").asInt() == 63)
+    assert(node.get("failed").get(0).asText() == "q_boom")
+    assert(node.get("flagship_docs_per_sec").asLong() == 1074509L)
+    assert(node.get("detail").asText() == "BENCH/result.json")
+    // the per-query map is exactly what overflowed the driver window
+    assert(node.get("queries") == null,
+      "per-query timings must NOT ride the stdout line (BENCH/result.json carries them)")
+  }
+}
