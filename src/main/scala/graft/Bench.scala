@@ -236,6 +236,12 @@ object Bench {
     val extras = new StringBuilder
     extras.append(s""","flagship_local$cpus":${flagshipJson(high)}""")
     low.foreach(l => extras.append(s""","flagship_local$cpusLow":${flagshipJson(l)}"""))
+    // per-lang heavy hitters from the fused phase-2 aggregation (the
+    // north star's "heavy-hitter token frequencies", enumerated)
+    val topJson = high.topTokensPerLang.toSeq.sortBy(_._1).map { case (lang, toks) =>
+      "\"" + lang + "\":" + toks.map("\"" + _ + "\"").mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    extras.append(s""","top_tokens":$topJson""")
     val full =
       f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,""" +
         s""""sf":"$sfDir","failed":$failedJson${head.result()}${extras.result()}}"""

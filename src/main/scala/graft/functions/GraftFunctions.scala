@@ -54,6 +54,8 @@ object Graft {
     r.register("tdigest_weighted_agg", udaf(new TDigestWeightedAgg(TDigest.DefaultCompression)))
     r.register("topk_agg", udaf(new TopKAgg(FreqSketch.DefaultCapacity)))
     r.register("topk_tokens_agg", udaf(new TopKTokensAgg(FreqSketch.DefaultCapacity)))
+    r.register("cms_topk_tokens_agg", udaf(new CmsTopkTokensAgg(
+      Cms.DefaultDepth, Cms.DefaultWidth, FreqSketch.DefaultCapacity, SketchSeed)))
 
     // merge aggregators (sketch-bytes -> sketch-bytes re-aggregation)
     r.register("ebf_merge_agg", udaf(new EbfMergeAgg))

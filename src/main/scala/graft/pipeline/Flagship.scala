@@ -34,7 +34,8 @@ object Flagship {
       buildPerHostSec: Double, cmsTokensSec: Double, globalEbfSec: Double,
       probeSec: Double, docsPerSec: Double,
       fprMeasured: Double, fprBound: Double, ebfLevel: Int, ebfBytes: Long,
-      falseNegatives: Long)
+      falseNegatives: Long,
+      topTokensPerLang: Map[String, Seq[String]] = Map.empty)
 
   private def time[T](f: => T): (T, Double) = {
     val t0 = System.nanoTime()
@@ -107,14 +108,28 @@ object Flagship {
       agged.agg(count(lit(1)), sum(sizeSum)).head.getLong(0)
     }
 
-    // phase 2: per-lang CMS over text tokens — tokenized INSIDE the
-    // aggregator (no exploded token relation; see CmsTokensAgg)
-    val cmsAgg = udaf(new SketchAggregators.CmsTokensAgg(5, 16384, Graft.SketchSeed))
-    val (langGroups, t2) = time {
-      wp.select(col("lang"), col("text"))
+    // phase 2: per-lang CMS + Misra-Gries over text tokens in ONE
+    // fused aggregation — tokenized INSIDE the aggregator (no exploded
+    // token relation), CMS for point queries, MG so the heavy hitters
+    // can be ENUMERATED (a sketch that answers "how often is X" can't
+    // list the X's). The top-20 extraction rides the same collect; the
+    // per-lang result is a handful of rows.
+    val tokAgg = udaf(new SketchAggregators.CmsTopkTokensAgg(5, 16384, 256, Graft.SketchSeed))
+    val ((langGroups, topTokens), t2) = time {
+      val perLang = wp.select(col("lang"), col("text"))
         .groupBy("lang")
-        .agg(cmsAgg(col("text")).as("cms"))
-        .agg(count(lit(1)), sum(length(col("cms")))).head.getLong(0)
+        .agg(tokAgg(col("text")).as("tok"))
+        // lengths force every sketch byte; topk_items forces + extracts
+        // the heavy hitters (a bare count() would let Catalyst prune
+        // the aggregate itself out of the timing)
+        .select(col("lang"), length(col("tok.cms")).as("cms_len"),
+          length(col("tok.topk")).as("topk_len"),
+          expr("topk_items(tok.topk, 20)").as("top"))
+        .collect()
+      val tops = perLang.map { r =>
+        r.getString(0) -> r.getSeq[org.apache.spark.sql.Row](3).map(_.getString(0)).toSeq
+      }.toMap
+      (perLang.length.toLong, tops)
     }
 
     // phase 3: SHARDED global EBF over all urls — a parallel
@@ -161,6 +176,6 @@ object Flagship {
       if (sharded == null) -1.0 else sharded.fprBound,
       if (sharded == null) -1 else sharded.maxLevel,
       if (sharded == null) -1L else sharded.totalSizeBytes,
-      falseNegs)
+      falseNegs, topTokens)
   }
 }
