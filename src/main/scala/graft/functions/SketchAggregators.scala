@@ -33,6 +33,23 @@ object SketchAggregators {
     def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
   }
 
+  /** [[EbfAgg]] fed pre-computed `Hash128` halves instead of the key
+    * string ("shuffle hashes, not strings" — see Hash128Expr): 16 bytes
+    * through a clustering exchange instead of the raw key,
+    * byte-identical output. Null h1 (null key) rows are skipped. */
+  final class EbfHashAgg(m0: Int, k: Int, l0: Int, aNum: Int, aDen: Int, seed: Long)
+      extends Aggregator[(java.lang.Long, java.lang.Long), Ebf, Array[Byte]] {
+    def zero: Ebf = Ebf.empty(m0, k, l0, aNum, aDen, seed)
+    def reduce(b: Ebf, in: (java.lang.Long, java.lang.Long)): Ebf = {
+      if (in._1 != null) b.insertHash(Hash128.H(in._1.longValue(), in._2.longValue()))
+      b
+    }
+    def merge(a: Ebf, b: Ebf): Ebf = a.merge(b)
+    def finish(b: Ebf): Array[Byte] = b.toBytes
+    def bufferEncoder: Encoder[Ebf] = Encoders.kryo[Ebf]
+    def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
   final class HllAgg(p: Int, seed: Long) extends Aggregator[String, Hll, Array[Byte]] {
     def zero: Hll = Hll.empty(p, seed)
     def reduce(b: Hll, key: String): Hll = { if (key != null) b.add(key); b }
@@ -221,6 +238,42 @@ object SketchAggregators {
         b.hll.addHash(h.h1)
       }
       val v = in._2
+      if (v != null) { b.kll.add(v.doubleValue()); b.td.add(v.doubleValue()) }
+      b
+    }
+    def merge(a: HostSketchBuf, b: HostSketchBuf): HostSketchBuf = {
+      a.ebf.merge(b.ebf); a.hll.merge(b.hll); a.kll.merge(b.kll); a.td.merge(b.td)
+      a
+    }
+    def finish(b: HostSketchBuf): HostSketches =
+      HostSketches(b.ebf.toBytes, b.hll.toBytes, b.kll.toBytes, b.td.toBytes)
+    def bufferEncoder: Encoder[HostSketchBuf] = Encoders.kryo[HostSketchBuf]
+    def outputEncoder: Encoder[HostSketches] = Encoders.product[HostSketches]
+  }
+
+  /** [[PerHostSketchesAgg]] fed PRE-COMPUTED url hashes instead of the
+    * url string — the "shuffle hashes, not strings" form. The flagship
+    * projects `Hash128Expr.h1/h2(url)` (16 bytes) before the clustering
+    * exchange instead of shipping the ~60-byte url to the reduce side
+    * only to hash it there; EBF and HLL consume `Hash128.H` directly,
+    * so the resulting sketches are byte-identical to the string-fed
+    * build (spec-asserted). Null hash (null url) rows skip the key
+    * sketches, mirroring the string form's null-skip. */
+  final class PerHostSketchesHashAgg(m0: Int, k: Int, l0: Int, aNum: Int, aDen: Int,
+                                     hllP: Int, kllK: Int, tdCompression: Double, seed: Long)
+      extends Aggregator[(java.lang.Long, java.lang.Long, java.lang.Double),
+        HostSketchBuf, HostSketches] {
+    def zero: HostSketchBuf = new HostSketchBuf(
+      Ebf.empty(m0, k, l0, aNum, aDen, seed), Hll.empty(hllP, seed),
+      Kll.empty(kllK), TDigest.empty(tdCompression))
+    def reduce(b: HostSketchBuf,
+               in: (java.lang.Long, java.lang.Long, java.lang.Double)): HostSketchBuf = {
+      val h1 = in._1
+      if (h1 != null) {
+        b.ebf.insertHash(Hash128.H(h1.longValue(), in._2.longValue()))
+        b.hll.addHash(h1.longValue())
+      }
+      val v = in._3
       if (v != null) { b.kll.add(v.doubleValue()); b.td.add(v.doubleValue()) }
       b
     }

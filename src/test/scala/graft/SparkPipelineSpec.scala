@@ -202,4 +202,63 @@ class SparkPipelineSpec extends AnyFunSuite {
     val direct = wp.agg(expr("ebf_agg(url)")).head.getAs[Array[Byte]](0)
     assert(java.util.Arrays.equals(merged, direct))
   }
+
+  // --- "shuffle hashes, not strings" equivalences (round 3) ----------
+
+  test("hash-fed flagship phase 1 is byte-identical to the string-fed build") {
+    import graft.pipeline.Flagship
+    def skMap(df: org.apache.spark.sql.DataFrame) = df.collect().map { r =>
+      val s = r.getStruct(r.length - 1)
+      (r.getString(0), r.getString(1)) -> (0 until 4).map(s.getAs[Array[Byte]](_).toSeq)
+    }.toMap
+    val strFed = wp
+      .select(col("lang"), col("url"), length(col("text")).cast("double").as("text_len"))
+      .withColumn("host", parse_url(col("url"), lit("HOST")))
+    val hashFed = wp.select(col("lang"),
+      graft.plans.Hash128Expr.h1(col("url"), Graft.SketchSeed).as("__h1"),
+      graft.plans.Hash128Expr.h2(col("url"), Graft.SketchSeed).as("__h2"),
+      length(col("text")).cast("double").as("text_len"),
+      substring_index(substring_index(col("url"), "/", 3), "/", -1).as("host"))
+    // plain (same merge tree both sides): FULL byte-identity, all four
+    val a = skMap(SaltedAgg.plainAgg(strFed, Seq("lang", "host"), Flagship.perHostSpecs))
+    val b = skMap(SaltedAgg.plainAgg(hashFed, Seq("lang", "host"), Flagship.perHostHashSpecs))
+    assert(a.keySet === b.keySet)
+    assert(a === b)
+    // salted with different salt expressions (url hash vs __h1): the
+    // merge TREES differ, so only the merge-order-free sketches (EBF,
+    // HLL) must stay byte-identical — KLL/t-digest are guarantee-level
+    // (same rule as the library-wide merge laws)
+    val sa = skMap(SaltedAgg.adaptiveSketchAgg(strFed, Seq("lang", "host"), col("url"),
+      8, Flagship.perHostSpecs, hotRowThreshold = 100L))
+    val sb = skMap(SaltedAgg.adaptiveSketchAgg(hashFed, Seq("lang", "host"), col("__h1"),
+      8, Flagship.perHostHashSpecs, hotRowThreshold = 100L))
+    assert(sa.keySet === sb.keySet)
+    sa.foreach { case (k, v) =>
+      assert(v(0) === sb(k)(0), s"EBF differs for $k")
+      assert(v(1) === sb(k)(1), s"HLL differs for $k")
+    }
+  }
+
+  test("substring_index host extraction equals parse_url on generated urls") {
+    val neq = wp.select(
+      parse_url(col("url"), lit("HOST")).as("a"),
+      substring_index(substring_index(col("url"), "/", 3), "/", -1).as("b"))
+      .filter(not(col("a") <=> col("b"))).count()
+    assert(neq === 0L)
+  }
+
+  test("hash-fed shard table build is byte-identical to the string-fed form") {
+    val numShards = 8
+    val hashFed = graft.pipeline.ShardedProbe
+      .buildShardTable(wp, col("url"), numShards, m0 = 256, clusterFirst = true)
+      .collect().map(r => r.getInt(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+    val strAgg = udaf(new graft.functions.SketchAggregators.EbfAgg(
+      256, 5, 16, 1, 8, Graft.SketchSeed))
+    val strFed = wp.select(col("url"))
+      .filter(col("url").isNotNull)
+      .select(expr(s"graft_shard(url, $numShards)").as("shard"), col("url"))
+      .groupBy("shard").agg(strAgg(col("url")).as("sk"))
+      .collect().map(r => r.getInt(0) -> r.getAs[Array[Byte]](1).toSeq).toMap
+    assert(hashFed === strFed)
+  }
 }
