@@ -33,6 +33,13 @@ object Graft {
         spark.experimental.extraOptimizations =
           spark.experimental.extraOptimizations :+ graft.plans.ReplaceLiteralEbfProbe
       }
+      // native codegen'd SQL expressions (the UDF registry can't host
+      // Expression builders; goes through the sessionState shim)
+      for (name <- Seq("graft_hash128_h1", "graft_hash128_h2")) {
+        val (id, info, builder) =
+          graft.plans.Hash128Expr.sqlDescriptor(name, if (name.endsWith("h1")) 0 else 1)
+        org.apache.spark.sql.graftshim.FunctionShim.register(spark, id.funcName, info, builder)
+      }
       spark.conf.set("graft.registered", "true")
     }
     spark

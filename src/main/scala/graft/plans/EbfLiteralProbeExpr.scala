@@ -137,12 +137,22 @@ object ReplaceLiteralEbfProbe extends Rule[LogicalPlan] {
 }
 
 /** `SparkSessionExtensions` entry point — the config-driven way to get
-  * the graft optimizer rules without code changes:
-  * `--conf spark.sql.extensions=graft.plans.GraftExtensions`.
-  * (Function/aggregator registration still goes through
-  * `Graft.ensure(spark)`, which also installs this rule via
-  * `experimental.extraOptimizations`.) */
+  * the graft optimizer rules and native SQL expressions without code
+  * changes: `--conf spark.sql.extensions=graft.plans.GraftExtensions`.
+  * (UDF/aggregator registration still goes through
+  * `Graft.ensure(spark)`, which also installs the optimizer rule via
+  * `experimental.extraOptimizations`.)
+  *
+  * Injected SQL functions (native, codegen'd):
+  *  - `graft_hash128_h1(str[, seed])` / `graft_hash128_h2(str[, seed])`
+  *    — the library's 128-bit key hash, for "shuffle hashes, not
+  *    strings" projections in pure SQL (seed defaults to the library
+  *    seed; must be a foldable long).
+  */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => ReplaceLiteralEbfProbe)
+    ext.injectFunction(Hash128Expr.sqlDescriptor("graft_hash128_h1", 0))
+    ext.injectFunction(Hash128Expr.sqlDescriptor("graft_hash128_h2", 1))
+  }
 }

@@ -63,4 +63,32 @@ object Hash128Expr {
     ColumnBridge.column(Hash128Expr(ColumnBridge.expression(c), seed, 0))
   def h2(c: Column, seed: Long): Column =
     ColumnBridge.column(Hash128Expr(ColumnBridge.expression(c), seed, 1))
+
+  /** SQL registration triple for `graft_hash128_h1/h2(str[, seed])` —
+    * shared by the `GraftExtensions` injection path and
+    * `Graft.ensure`'s session-level registration (FunctionShim). The
+    * optional seed must be a foldable integral. */
+  def sqlDescriptor(name: String, part: Int): (
+      org.apache.spark.sql.catalyst.FunctionIdentifier,
+      org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+      Seq[Expression] => Expression) = {
+    val builder = (args: Seq[Expression]) => {
+      val seed = args match {
+        case Seq(_) => graft.functions.Graft.SketchSeed
+        case Seq(_, s) if s.foldable => s.eval() match {
+          case l: java.lang.Long => l.longValue()
+          case i: java.lang.Integer => i.longValue()
+          case other => throw new IllegalArgumentException(
+            s"$name seed must be an integral literal, got $other")
+        }
+        case _ => throw new IllegalArgumentException(
+          s"$name expects (str[, seed literal]), got ${args.size} args")
+      }
+      Hash128Expr(args.head, seed, part)
+    }
+    (org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[Hash128Expr].getName, name),
+      builder)
+  }
 }

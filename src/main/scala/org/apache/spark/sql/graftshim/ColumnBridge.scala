@@ -15,3 +15,19 @@ object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 }
+
+/** Session-level native-function registration (FunctionRegistry is
+  * reachable only through the `private[sql]` sessionState) — lets
+  * `Graft.ensure` expose codegen'd expressions in SQL for sessions not
+  * configured with `spark.sql.extensions=graft.plans.GraftExtensions`. */
+object FunctionShim {
+  import org.apache.spark.sql.SparkSession
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+  def register(spark: SparkSession, name: String, info: ExpressionInfo,
+               builder: Seq[Expression] => Expression): Unit =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+      .registerFunction(FunctionIdentifier(name), info, builder)
+}

@@ -239,6 +239,25 @@ class SparkPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("graft_hash128_h1/h2 SQL functions match Hash128.hashString") {
+    import spark.implicits._
+    val d = Seq("alpha", "beta", null).toDF("k")
+    val rows = d.select(col("k"),
+      expr("graft_hash128_h1(k)").as("h1"),
+      expr("graft_hash128_h2(k)").as("h2"),
+      expr("graft_hash128_h1(k, 7L)").as("h1s")).collect()
+    rows.foreach { r =>
+      if (r.isNullAt(0)) {
+        assert(r.isNullAt(1) && r.isNullAt(2) && r.isNullAt(3))
+      } else {
+        val h = Hash128.hashString(r.getString(0), Graft.SketchSeed)
+        assert(r.getLong(1) === h.h1)
+        assert(r.getLong(2) === h.h2)
+        assert(r.getLong(3) === Hash128.hashString(r.getString(0), 7L).h1)
+      }
+    }
+  }
+
   test("substring_index host extraction equals parse_url on generated urls") {
     val neq = wp.select(
       parse_url(col("url"), lit("HOST")).as("a"),
