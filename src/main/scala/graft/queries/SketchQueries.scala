@@ -187,6 +187,29 @@ object SketchQueries {
         .orderBy("token")
     },
 
+    // the literal-sketch REWRITE path in the driver gate: the collected
+    // CMS probed as an X'..' literal in pure SQL — which
+    // ReplaceLiteralEbfProbe rewrites to the once-per-task native
+    // expression (asserted on the optimized plan) — must agree with the
+    // closure-UDF path of cms_overestimate_check: estimates over every
+    // distinct token, >= exact and <= exact + eps*N
+    "cms_literal_probe_check" -> { (s, dir) =>
+      Graft.ensure(s)
+      val t = tokens(s, dir)
+      val bytes = t.select(expr("cms_agg(token)")).head.getAs[Array[Byte]](0)
+      val cms = Cms.fromBytes(bytes)
+      val hex = bytes.map(b => f"$b%02x").mkString
+      val probed = t.groupBy(col("token")).agg(count(lit(1)).as("exact"))
+        .withColumn("est", expr(s"cms_estimate(X'$hex', token)"))
+      require(probed.queryExecution.optimizedPlan.expressions.exists(_.exists(
+        _.isInstanceOf[graft.plans.SketchLiteralScalarExpr])),
+        "literal-sketch rule did not fire on the X'..' probe")
+      probed.select(col("token"),
+          (col("est") >= col("exact")).as("over"),
+          (col("est") <= col("exact") + lit(cms.eps * cms.total) + lit(1.0)).as("within_eps"))
+        .orderBy("token")
+    },
+
     "cms_tokens_agg_equivalence" -> { (s, dir) =>
       Graft.ensure(s)
       // document-level tokenizing aggregator == exploded-row aggregator
@@ -350,6 +373,8 @@ object SketchQueries {
       "SELECT token, TRUE AS over, TRUE AS within_eps FROM (SELECT DISTINCT unnest(string_split(text, ' ')) AS token FROM documents) ORDER BY token",
     "cms_tokens_agg_equivalence" ->
       "SELECT TRUE AS byte_identical",
+    "cms_literal_probe_check" ->
+      "SELECT token, TRUE AS over, TRUE AS within_eps FROM (SELECT DISTINCT unnest(string_split(text, ' ')) AS token FROM documents) ORDER BY token",
     "exact_token_topk" ->
       "SELECT token, COUNT(*) AS cnt FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) GROUP BY token ORDER BY cnt DESC, token ASC LIMIT 20",
     // vocabulary (31 tokens at sf0.01) fits the 256-counter capacity, so

@@ -1,5 +1,6 @@
 package graft.queries
 
+import graft.core.Ebf
 import graft.data.WebPagesGen
 import graft.functions.Graft
 import graft.pipeline.SaltedAgg
@@ -84,6 +85,33 @@ object WebPagesQueries {
         .limit(10)
     },
 
+    // "shuffle hashes, not strings" equivalence in the driver gate:
+    // per-(lang,host) EBF/HLL built from map-side Hash128 columns
+    // (16 bytes through the exchange) must be byte-identical to the
+    // string-fed build — the invariant that makes the flagship's
+    // halved shuffle a pure win (Hash128Expr scaladoc)
+    "wp_hash_shuffle_equivalence" -> { (s, _) =>
+      Graft.ensure(s)
+      val wp = webpages(s)
+      val strFed = withHost(wp).select("host", "url")
+        .groupBy("host")
+        .agg(expr("ebf_agg(url)").as("ebf"))
+      val agg = udaf(new graft.functions.SketchAggregators.EbfHashAgg(
+        Ebf.DefaultM0, Ebf.DefaultK, Ebf.DefaultL0,
+        Ebf.DefaultAlphaNum, Ebf.DefaultAlphaDen, Graft.SketchSeed))
+      val hashFed = withHost(wp).select(col("host"),
+          expr("graft_hash128_h1(url)").as("h1"),
+          expr("graft_hash128_h2(url)").as("h2"))
+        .groupBy("host")
+        .agg(agg(col("h1"), col("h2")).as("ebf2"))
+      val cmp = strFed.join(hashFed, "host")
+        .agg(bool_and(col("ebf") === col("ebf2")).as("eq"),
+          count(lit(1)).as("hosts")).head
+      s.range(1).select(
+        lit(cmp.getBoolean(0)).as("hash_fed_byte_identical"),
+        lit(cmp.getLong(1) > 0).as("has_hosts"))
+    },
+
     // oracle companion to the rows-only skew dump above: (a) the
     // per-host counts are cross-checked against an INDEPENDENT salted
     // two-stage count (per-(host, salt-of-url) partials re-summed —
@@ -120,5 +148,7 @@ object WebPagesQueries {
       "SELECT TRUE AS all_identical, TRUE AS row_count_matches",
     "wp_host_skew_check" ->
       "SELECT TRUE AS counts_match, TRUE AS has_hosts, TRUE AS top_host_ge_10x_median",
+    "wp_hash_shuffle_equivalence" ->
+      "SELECT TRUE AS hash_fed_byte_identical, TRUE AS has_hosts",
   )
 }
