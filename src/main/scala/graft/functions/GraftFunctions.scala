@@ -35,11 +35,12 @@ object Graft {
       }
       // native codegen'd SQL expressions (the UDF registry can't host
       // Expression builders; goes through the sessionState shim)
-      for (name <- Seq("graft_hash128_h1", "graft_hash128_h2")) {
-        val (id, info, builder) =
-          graft.plans.Hash128Expr.sqlDescriptor(name, if (name.endsWith("h1")) 0 else 1)
+      val natives = Seq(
+        graft.plans.Hash128Expr.sqlDescriptor("graft_hash128_h1", 0),
+        graft.plans.Hash128Expr.sqlDescriptor("graft_hash128_h2", 1),
+        graft.plans.GraftShardExpr.sqlDescriptor)
+      for ((id, info, builder) <- natives)
         org.apache.spark.sql.graftshim.FunctionShim.register(spark, id.funcName, info, builder)
-      }
       spark.conf.set("graft.registered", "true")
     }
     spark
@@ -97,16 +98,10 @@ object Graft {
     r.register("ebf_fpr", (sk: Array[Byte]) => SketchCache.ebf(sk).fprBound)
     // deterministic shard router (same function drives groupBy-side
     // sharding and probe-side routing of the sharded EBF); null keys
-    // route to a null shard (boxed return) so they join no shard and
-    // probe as misses instead of NPE-ing
-    r.register("graft_shard", (key: String, numShards: Int) => {
-      if (key == null) null
-      else {
-        val h = graft.core.Hash128.hash64(key, graft.core.ShardedEbf.DefaultRouteSeed)
-        val m = (h % numShards).toInt
-        Int.box(if (m < 0) m + numShards else m)
-      }
-    }: java.lang.Integer)
+    // route to a null shard so they join no shard and probe as misses
+    // instead of NPE-ing. Registered as a NATIVE codegen'd expression
+    // (GraftShardExpr) — the router sits on the map side of every
+    // shard build/probe, where a UDF would break whole-stage codegen.
     r.register("hll_estimate", (sk: Array[Byte]) => SketchCache.hll(sk).estimate)
     // null key -> 0: never inserted, so its count is zero (build/probe
     // symmetry, same rationale as ebf_might_contain's null guard; the

@@ -147,12 +147,15 @@ object ReplaceLiteralEbfProbe extends Rule[LogicalPlan] {
   *  - `graft_hash128_h1(str[, seed])` / `graft_hash128_h2(str[, seed])`
   *    — the library's 128-bit key hash, for "shuffle hashes, not
   *    strings" projections in pure SQL (seed defaults to the library
-  *    seed; must be a foldable long).
+  *    seed; must be a foldable long);
+  *  - `graft_shard(key, numShards)` — the deterministic shard router
+  *    (numShards must be foldable; null keys route to null).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => ReplaceLiteralEbfProbe)
     ext.injectFunction(Hash128Expr.sqlDescriptor("graft_hash128_h1", 0))
     ext.injectFunction(Hash128Expr.sqlDescriptor("graft_hash128_h2", 1))
+    ext.injectFunction(GraftShardExpr.sqlDescriptor)
   }
 }

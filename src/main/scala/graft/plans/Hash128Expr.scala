@@ -58,6 +58,76 @@ case class Hash128Expr(child: Expression, seed: Long, part: Int)
     copy(child = newChild)
 }
 
+/** Codegen'd shard router — `hash64(key, RouteSeed) mod numShards`,
+  * non-negative, null key -> null shard (joins no shard, probes as a
+  * miss). The native form of the `graft_shard` SQL function: the
+  * router sits on the map side of every shard build and probe
+  * (32M+ rows in the flagship's phase 3 alone), where a Scala UDF
+  * pays a catalyst->scala converter crossing per row and breaks
+  * whole-stage codegen. Routing is byte-identical to the UDF form
+  * (same hash, same mod). */
+case class GraftShardExpr(child: Expression, numShards: Int)
+    extends UnaryExpression {
+  require(numShards >= 1, s"numShards must be >= 1, got $numShards")
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string key, got ${child.dataType.simpleString}")
+
+  override def dataType: DataType = org.apache.spark.sql.types.IntegerType
+  override def prettyName: String = "graft_shard"
+
+  /** Called from both interpreted eval and generated code. */
+  def route(u: UTF8String): Int = {
+    val h = Hash128.hashBytes(u.getBytes, graft.core.ShardedEbf.DefaultRouteSeed).h1
+    val m = (h % numShards).toInt
+    if (m < 0) m + numShards else m
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    route(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("graftShardExpr", this, classOf[GraftShardExpr].getName)
+    defineCodeGen(ctx, ev, c => s"$self.route($c)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): GraftShardExpr =
+    copy(child = newChild)
+}
+
+object GraftShardExpr {
+  def apply(c: Column, numShards: Int): Column =
+    ColumnBridge.column(GraftShardExpr(ColumnBridge.expression(c), numShards))
+
+  /** SQL registration triple for `graft_shard(key, numShards)` — the
+    * shard count must be a foldable integral (it is a build-time
+    * constant everywhere the router is used). */
+  def sqlDescriptor: (
+      org.apache.spark.sql.catalyst.FunctionIdentifier,
+      org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+      Seq[Expression] => Expression) = {
+    val builder = (args: Seq[Expression]) => {
+      val n = args match {
+        case Seq(_, s) if s.foldable => s.eval() match {
+          case i: java.lang.Integer => i.intValue()
+          case l: java.lang.Long => l.intValue()
+          case other => throw new IllegalArgumentException(
+            s"graft_shard numShards must be an integral literal, got $other")
+        }
+        case _ => throw new IllegalArgumentException(
+          s"graft_shard expects (key, numShards literal), got ${args.size} args")
+      }
+      GraftShardExpr(args.head, n)
+    }
+    (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_shard"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[GraftShardExpr].getName, "graft_shard"),
+      builder)
+  }
+}
+
 object Hash128Expr {
   def h1(c: Column, seed: Long): Column =
     ColumnBridge.column(Hash128Expr(ColumnBridge.expression(c), seed, 0))

@@ -239,6 +239,24 @@ class SparkPipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("native graft_shard matches the reference routing and null semantics") {
+    import spark.implicits._
+    val d = Seq("k1", "k2", null).toDF("k")
+    val rows = d.select(col("k"), expr("graft_shard(k, 16)").as("s")).collect()
+    rows.foreach { r =>
+      if (r.isNullAt(0)) assert(r.isNullAt(1), "null key must route to null shard")
+      else {
+        val h = Hash128.hash64(r.getString(0), graft.core.ShardedEbf.DefaultRouteSeed)
+        val m = (h % 16).toInt
+        assert(r.getInt(1) === (if (m < 0) m + 16 else m))
+      }
+    }
+    // it really is the native expression, not a UDF
+    val plan = spark.range(5).select(expr("graft_shard(cast(id as string), 8)"))
+      .queryExecution.optimizedPlan
+    assert(plan.expressions.exists(_.exists(_.isInstanceOf[graft.plans.GraftShardExpr])))
+  }
+
   test("graft_hash128_h1/h2 SQL functions match Hash128.hashString") {
     import spark.implicits._
     val d = Seq("alpha", "beta", null).toDF("k")
