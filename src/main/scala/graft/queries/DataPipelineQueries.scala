@@ -306,6 +306,36 @@ object DataPipelineQueries {
       } finally corpus.unpersist(blocking = false)
     },
 
+    // int8-quantized similarity: the corpus-scale memory lever (4x
+    // smaller vectors; see Quantize). Two oracle-checked claims: (a)
+    // every planted twin still surfaces in its query's int8 top-10
+    // (quantization noise ~1e-2 cosine must not break retrieval), and
+    // (b) the int8 cosine tracks the float cosine within 0.02 on the
+    // planted pairs.
+    "ann_int8_recall" -> { (s, dir) =>
+      val aug = withPerturbedVecs(embeddings(s, dir))
+      val quant = graft.similarity.Quantize.withInt8(aug, "embedding", "emb").cache()
+      try {
+        val q = quant.filter(col("vec_id") < 500)
+        val found = graft.similarity.Quantize
+          .bruteForceTopKInt8(quant, q, "vec_id", "emb_q", 10)
+          .select("query_id", "neighbor_id")
+        val planted = q.select(col("vec_id").as("query_id"),
+          (col("vec_id") + 1000000).as("neighbor_id"))
+        val n = planted.count()
+        val hit = planted.join(found, Seq("query_id", "neighbor_id"), "left_semi").count()
+        val dev = quant.select(col("vec_id"), col("emb_q"), col("embedding"))
+          .join(quant.select((col("vec_id") - 1000000).as("vec_id"),
+            col("emb_q").as("tq"), col("embedding").as("tv")), "vec_id")
+          .select(abs(graft.similarity.Quantize.cosineInt8(col("emb_q"), col("tq")) -
+            graft.similarity.Ann.cosine(col("embedding"), col("tv"))).as("d"))
+          .agg(max(col("d"))).head.getDouble(0)
+        s.range(1).select(
+          lit(hit.toDouble / n >= 0.9).as("planted_recall_at_10_ge_09"),
+          lit(dev <= 0.02).as("cosine_dev_le_002"))
+      } finally quant.unpersist(blocking = false)
+    },
+
     // -------------------------------------------------------- text
     "text_stats" -> { (s, dir) =>
       Graft.ensure(s)
@@ -434,6 +464,8 @@ object DataPipelineQueries {
       "SELECT TRUE AS planted_recall_at_10_ge_08",
     "ann_ivf_clustered" ->
       "SELECT TRUE AS clustered_recall_at_10_ge_08, TRUE AS probe_fraction_le_eighth",
+    "ann_int8_recall" ->
+      "SELECT TRUE AS planted_recall_at_10_ge_09, TRUE AS cosine_dev_le_002",
     "token_budget_selection" ->
       "SELECT TRUE AS within_tolerance",
     "text_features_check" ->
