@@ -34,13 +34,18 @@ import org.apache.spark.sql.SparkSession
 object Bench {
 
   /** The driver-contract stdout line, extracted for the size spec:
-    * every field is a scalar or the (normally empty) failed list —
-    * per-query timings intentionally excluded (see object scaladoc). */
+    * every field is a scalar or the (normally empty, always BOUNDED)
+    * failed list — per-query timings intentionally excluded (see
+    * object scaladoc). A catastrophic round failing all ~66 queries
+    * must not overflow the line either, so at most 8 failed names ride
+    * it; `failed_count` always carries the true total and
+    * BENCH/result.json the full list. */
   private[graft] def contractLine(totalSec: Double, nQueries: Int, sfDir: String,
                                   failed: Seq[String], headline: String): String = {
-    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val failedJson = failed.take(8).map("\"" + _ + "\"").mkString("[", ",", "]")
     f"""{"metric":"total","value":$totalSec%.2f,"unit":"sec","sf":"$sfDir",""" +
-      s""""queries_count":$nQueries,"failed":$failedJson$headline,""" +
+      s""""queries_count":$nQueries,"failed_count":${failed.size},""" +
+      s""""failed":$failedJson$headline,""" +
       s""""detail":"BENCH/result.json"}"""
   }
 

@@ -25,10 +25,14 @@ class BenchLineSpec extends AnyFunSuite {
     val line = Bench.contractLine(59.25, 63, "/root/testdata/sf0.1",
       Seq.empty, maximalHeadline)
     assert(line.length < 1500, s"line is ${line.length} bytes: $line")
-    // even a pathological failure round (10 failed queries) must fit
-    val failedLine = Bench.contractLine(59.25, 63, "/root/testdata/sf0.1",
-      (1 to 10).map(i => s"some_quite_long_query_name_$i"), maximalHeadline)
+    // even a catastrophic round (ALL queries failed) must fit: the
+    // failed list is capped at 8 names, failed_count carries the total
+    val failedLine = Bench.contractLine(59.25, 66, "/root/testdata/sf0.1",
+      (1 to 66).map(i => s"some_quite_long_query_name_$i"), maximalHeadline)
     assert(failedLine.length < 1900, s"line is ${failedLine.length} bytes")
+    val node = new ObjectMapper().readTree(failedLine)
+    assert(node.get("failed_count").asInt() == 66)
+    assert(node.get("failed").size() == 8)
   }
 
   test("contract line is valid single-line JSON with the contract fields") {

@@ -27,7 +27,8 @@ class CacheHygieneSpec extends AnyFunSuite {
     assume(new java.io.File(s"$sfDir/embeddings.parquet").exists())
     val before = spark.sparkContext.getPersistentRDDs.keySet
     for (name <- Seq("dedup_embedding_cosine", "dedup_embedding_recall",
-        "ann_lsh_recall", "ann_ivf_recall", "ann_ivf_clustered")) {
+        "ann_lsh_recall", "ann_ivf_recall", "ann_ivf_clustered",
+        "ann_int8_recall")) {
       val q = SparkEntry.queries(name)
       // consume like the driver does (full materialization)
       q(spark, sfDir).collect()
