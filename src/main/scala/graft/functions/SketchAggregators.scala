@@ -41,7 +41,10 @@ object SketchAggregators {
       extends Aggregator[(java.lang.Long, java.lang.Long), Ebf, Array[Byte]] {
     def zero: Ebf = Ebf.empty(m0, k, l0, aNum, aDen, seed)
     def reduce(b: Ebf, in: (java.lang.Long, java.lang.Long)): Ebf = {
-      if (in._1 != null) b.insertHash(Hash128.H(in._1.longValue(), in._2.longValue()))
+      // both halves guarded: callers derive them from one key, but a
+      // hand-written (non-null, null) pair must skip, not NPE
+      if (in._1 != null && in._2 != null)
+        b.insertHash(Hash128.H(in._1.longValue(), in._2.longValue()))
       b
     }
     def merge(a: Ebf, b: Ebf): Ebf = a.merge(b)
@@ -269,7 +272,7 @@ object SketchAggregators {
     def reduce(b: HostSketchBuf,
                in: (java.lang.Long, java.lang.Long, java.lang.Double)): HostSketchBuf = {
       val h1 = in._1
-      if (h1 != null) {
+      if (h1 != null && in._2 != null) {
         b.ebf.insertHash(Hash128.H(h1.longValue(), in._2.longValue()))
         b.hll.addHash(h1.longValue())
       }

@@ -2,8 +2,6 @@ package graft.plans
 
 import graft.core.Hash128
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graftshim.ColumnBridge
@@ -28,14 +26,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * Null urls hash to null (and the hash-fed aggregators skip null,
   * mirroring the string-fed aggregators' null-skip).
   */
+// StringInputCast: implicit cast to string, matching what a registered
+// Scala UDF with a String parameter accepted (graft_hash128_h1(doc_id)
+// keeps working)
 case class Hash128Expr(child: Expression, seed: Long, part: Int)
-    extends UnaryExpression {
+    extends UnaryExpression
+    with org.apache.spark.sql.graftshim.StringInputCast {
   require(part == 0 || part == 1, s"part must be 0 (h1) or 1 (h2), got $part")
-
-  override def checkInputDataTypes(): TypeCheckResult =
-    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires a string input, got ${child.dataType.simpleString}")
 
   override def dataType: DataType = LongType
   override def prettyName: String = if (part == 0) "graft_hash128_h1" else "graft_hash128_h2"
@@ -66,14 +63,13 @@ case class Hash128Expr(child: Expression, seed: Long, part: Int)
   * pays a catalyst->scala converter crossing per row and breaks
   * whole-stage codegen. Routing is byte-identical to the UDF form
   * (same hash, same mod). */
+// StringInputCast: implicit cast to string, matching what the former
+// Scala UDF with a String parameter accepted (graft_shard(doc_id, 64)
+// keeps working)
 case class GraftShardExpr(child: Expression, numShards: Int)
-    extends UnaryExpression {
+    extends UnaryExpression
+    with org.apache.spark.sql.graftshim.StringInputCast {
   require(numShards >= 1, s"numShards must be >= 1, got $numShards")
-
-  override def checkInputDataTypes(): TypeCheckResult =
-    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires a string key, got ${child.dataType.simpleString}")
 
   override def dataType: DataType = org.apache.spark.sql.types.IntegerType
   override def prettyName: String = "graft_shard"
@@ -111,15 +107,19 @@ object GraftShardExpr {
     val builder = (args: Seq[Expression]) => {
       val n = args match {
         case Seq(_, s) if s.foldable => s.eval() match {
-          case i: java.lang.Integer => i.intValue()
-          case l: java.lang.Long => l.intValue()
+          case i: java.lang.Integer => i.longValue()
+          case l: java.lang.Long => l.longValue()
           case other => throw new IllegalArgumentException(
             s"graft_shard numShards must be an integral literal, got $other")
         }
         case _ => throw new IllegalArgumentException(
           s"graft_shard expects (key, numShards literal), got ${args.size} args")
       }
-      GraftShardExpr(args.head, n)
+      // reject rather than truncate: 5e9 silently becoming 705032704
+      // would route every row modulo a garbage shard count
+      if (n < 1 || n > Int.MaxValue) throw new IllegalArgumentException(
+        s"graft_shard numShards must be in [1, ${Int.MaxValue}], got $n")
+      GraftShardExpr(args.head, n.toInt)
     }
     (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_shard"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(

@@ -104,11 +104,16 @@ object WebPagesQueries {
           expr("graft_hash128_h2(url)").as("h2"))
         .groupBy("host")
         .agg(agg(col("h1"), col("h2")).as("ebf2"))
-      val cmp = strFed.join(hashFed, "host")
-        .agg(bool_and(col("ebf") === col("ebf2")).as("eq"),
+      // full join + coalesce(false): a host missing on either side is a
+      // MISMATCH (null keys included — null-safe equality on the join),
+      // and an EMPTY result must read as false, not NPE on a null
+      // bool_and
+      val cmp = strFed.join(hashFed,
+          strFed("host") <=> hashFed("host"), "full")
+        .agg(bool_and(coalesce(col("ebf") === col("ebf2"), lit(false))).as("eq"),
           count(lit(1)).as("hosts")).head
       s.range(1).select(
-        lit(cmp.getBoolean(0)).as("hash_fed_byte_identical"),
+        lit(!cmp.isNullAt(0) && cmp.getBoolean(0)).as("hash_fed_byte_identical"),
         lit(cmp.getLong(1) > 0).as("has_hosts"))
     },
 

@@ -27,15 +27,20 @@ object Ann {
     dot / (sqrt(na) * sqrt(nb))
   }
 
-  /** Brute-force exact top-k cosine neighbors for each query vector.
-    * Queries are broadcast (must be small); corpus side is map-only
-    * until the per-query top-k windowing. */
+  /** Brute-force exact top-k neighbors for each query vector under
+    * `score` (default: float cosine). Queries are broadcast (must be
+    * small); corpus side is map-only until the per-query top-k
+    * windowing. The scorer receives (query vector col, corpus vector
+    * col); `vecCol` may be a struct carrying precomputed per-vector
+    * terms (see Quantize.bruteForceTopKInt8) — the plan shape is the
+    * single shared implementation of this pattern. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-                     vecCol: String, k: Int): DataFrame = {
+                     vecCol: String, k: Int,
+                     score: (Column, Column) => Column = cosine): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qvec"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("nvec"))
     val scored = c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
-      .withColumn("cosine", cosine(col("qvec"), col("nvec")))
+      .withColumn("cosine", score(col("qvec"), col("nvec")))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w))

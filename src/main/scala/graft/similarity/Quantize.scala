@@ -26,11 +26,15 @@ import org.apache.spark.sql.functions._
 object Quantize {
 
   /** Add `<out>_q: array<tinyint>` and `<out>_scale: double` columns
-    * quantizing `vecCol`. Zero vectors get scale 0 and all-zero codes. */
+    * quantizing `vecCol`. Zero vectors — and vectors containing NaN,
+    * which would otherwise poison `greatest` (Spark orders NaN largest)
+    * and silently quantize every component to 127 — get scale 0 and
+    * all-zero codes (the detectable degenerate, not plausible garbage). */
   def withInt8(df: DataFrame, vecCol: String, out: String): DataFrame = {
     val v = col(vecCol).cast("array<double>")
     val maxAbs = aggregate(v, lit(0.0), (acc, x) => greatest(acc, abs(x)))
-    df.withColumn(s"${out}_scale", maxAbs / 127.0)
+    df.withColumn(s"${out}_scale",
+        when(isnan(maxAbs), lit(0.0)).otherwise(maxAbs / 127.0))
       .withColumn(s"${out}_q",
         transform(v, x =>
           when(col(s"${out}_scale") === 0.0, lit(0))
@@ -53,21 +57,24 @@ object Quantize {
     dotInt8(a, b).cast("double") / (sqrt(na.cast("double")) * sqrt(nb.cast("double")))
   }
 
-  /** Brute-force top-k neighbors over the int8 codes: same plan shape
-    * as [[Ann.bruteForceTopK]] (broadcast queries, map-only corpus
-    * scoring, per-query window top-k) at a quarter of the vector
-    * bytes. */
+  /** Brute-force top-k neighbors over the int8 codes — delegates to
+    * [[Ann.bruteForceTopK]]'s plan shape (broadcast queries, map-only
+    * corpus scoring, per-query window top-k) at a quarter of the
+    * vector bytes. Each side's code norm is computed ONCE per vector
+    * in a pre-join projection and carried in a struct next to the
+    * codes: in the |corpus| x |queries| scored join only the dot
+    * product is per-pair work (re-deriving the norms per pair would
+    * triple it). */
   def bruteForceTopKInt8(corpus: DataFrame, queries: DataFrame, idCol: String,
                          qvecCol: String, k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val q = queries.select(col(idCol).as("query_id"), col(qvecCol).as("qv"))
-    val c = corpus.select(col(idCol).as("neighbor_id"), col(qvecCol).as("nv"))
-    val scored = c.join(broadcast(q), col("neighbor_id") =!= col("query_id"))
-      .withColumn("cosine", cosineInt8(col("qv"), col("nv")))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
+    def sqNorm(c: Column): Column =
+      aggregate(c, lit(0L), (acc, x) => acc + x.cast("int") * x.cast("int"))
+    def withNorm(df: DataFrame): DataFrame = df.select(col(idCol),
+      struct(col(qvecCol).as("q"),
+        sqrt(sqNorm(col(qvecCol)).cast("double")).as("n")).as("__qn"))
+    val score = (a: Column, b: Column) =>
+      dotInt8(a.getField("q"), b.getField("q")).cast("double") /
+        (a.getField("n") * b.getField("n"))
+    Ann.bruteForceTopK(withNorm(corpus), withNorm(queries), idCol, "__qn", k, score)
   }
 }

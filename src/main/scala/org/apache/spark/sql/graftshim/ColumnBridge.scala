@@ -31,3 +31,14 @@ object FunctionShim {
       .sessionState.functionRegistry
       .registerFunction(FunctionIdentifier(name), info, builder)
 }
+
+/** Mixin giving a unary expression an implicit cast of its input to
+  * string — the behavior a registered Scala UDF with a String
+  * parameter had. Lives here because `AbstractDataType` (the
+  * `inputTypes` element type) is `private[sql]` in Spark 4. */
+trait StringInputCast
+    extends org.apache.spark.sql.catalyst.expressions.ImplicitCastInputTypes {
+  self: Expression =>
+  override def inputTypes: Seq[org.apache.spark.sql.types.AbstractDataType] =
+    Seq(org.apache.spark.sql.types.StringType)
+}

@@ -255,6 +255,17 @@ class SparkPipelineSpec extends AnyFunSuite {
     val plan = spark.range(5).select(expr("graft_shard(cast(id as string), 8)"))
       .queryExecution.optimizedPlan
     assert(plan.expressions.exists(_.exists(_.isInstanceOf[graft.plans.GraftShardExpr])))
+    // implicit input cast preserved from the UDF era: non-string keys work
+    val viaLong = spark.range(5)
+      .select(expr("graft_shard(id, 8)").as("a"),
+        expr("graft_shard(cast(id as string), 8)").as("b"),
+        expr("graft_hash128_h1(id)").as("h"),
+        expr("graft_hash128_h1(cast(id as string))").as("h2"))
+      .collect()
+    viaLong.foreach { r =>
+      assert(r.getInt(0) === r.getInt(1))
+      assert(r.getLong(2) === r.getLong(3))
+    }
   }
 
   test("graft_hash128_h1/h2 SQL functions match Hash128.hashString") {
