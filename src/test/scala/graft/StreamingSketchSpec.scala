@@ -36,6 +36,8 @@ class StreamingSketchSpec extends AnyFunSuite {
       .groupBy(window(col("warc_ts"), "90 days"), col("lang"))
       .agg(expr("hll_estimate(hll_agg(url))").as("ndv_est"),
         expr("topk_items(topk_tokens_agg(text), 1)").as("top1"),
+        // the kernel-fused CMS+MG aggregator is streaming-safe too
+        expr("cms_estimate(cms_topk_tokens_agg(text).cms, 'the')").as("the_cnt"),
         count(lit(1)).as("n"))
 
     val q = stream.writeStream
@@ -61,6 +63,9 @@ class StreamingSketchSpec extends AnyFunSuite {
       }
       val totalN = out.map(_.getAs[Long]("n")).sum
       assert(totalN === 2000L)
+      // 'the' heads the en stopword vocabulary: the fused CMS must see it
+      assert(out.map(_.getAs[Long]("the_cnt")).max > 0,
+        "fused streaming CMS never counted 'the'")
     } finally q.stop()
   }
 
