@@ -68,6 +68,25 @@ object Bench {
     s
   }
 
+  /** Confine ALL threads of this JVM to the first `n` cores via
+    * taskset(1). local[8] on a 32-core box is NOT an 8-core cluster:
+    * GC, JIT-compiler, Netty and Parquet reader threads spill onto the
+    * 24 idle cores, inflating the low-parallelism throughput and
+    * systematically deflating the measured N->4N scaling efficiency.
+    * Whole-process sched_setaffinity is the honest small-cluster
+    * emulation (an 8-executor cluster does not get 32 cores of GC) —
+    * if anything it is pessimistic for the low level, since the JVM
+    * sized its GC/JIT thread pools for 32 cores at startup and those
+    * now timeshare n. Returns whether the confinement was applied;
+    * non-fatal (bench proceeds unconfined) if taskset is missing. */
+  private[graft] def confineToCores(n: Int): Boolean = try {
+    val pid = ProcessHandle.current().pid()
+    val p = new ProcessBuilder("taskset", "-a", "-p", "-c", s"0-${n - 1}", pid.toString)
+      .redirectErrorStream(true).start()
+    p.getInputStream.readAllBytes() // drain (-a prints one line per thread)
+    p.waitFor() == 0
+  } catch { case _: Throwable => false }
+
   /** Pure-JVM calibration of the BOX's thread-scaling ceiling: the
     * flagship's dominant kernel (EBF inserts) run on plain threads with
     * zero Spark overhead. On dedicated hardware this scales ~linearly;
@@ -153,23 +172,28 @@ object Bench {
     // precedes each timed batch so JIT/codegen lands outside the window
     val cpusLow = sys.env.get("SPARK_GRAFT_CPUS_LOW").map(_.toInt)
       .getOrElse(math.max(2, cpus / 4))
-    // machine-floor calibration at both thread counts (no Spark)
-    val calib: Option[(Double, Double)] = if (doScaling) {
-      val lo = calibrate(cpusLow)
-      val hi = calibrate(cpus)
-      System.err.println(f"[bench] calibration: $cpusLow threads ${lo / 1e6}%.1f M inserts/s, " +
-        f"$cpus threads ${hi / 1e6}%.1f M inserts/s, efficiency ${hi / (lo * cpus / cpusLow)}%.3f")
-      Some((lo, hi))
-    } else None
-    val low: Option[Flagship.Result] = if (doScaling) {
-      val s = session(cpusLow)
-      Flagship.run(s, warmupPath, nProbes = 0)
-      val r = bestOf(s, s"local$cpusLow", nProbes = 0)
-      s.stop()
-      SparkSession.clearActiveSession()
-      SparkSession.clearDefaultSession()
-      Some(r)
-    } else None
+    // The entire low-parallelism batch (its calibration AND its Spark
+    // trials) runs with the whole JVM confined to cpusLow cores — see
+    // confineToCores. The mask is restored to the full core set before
+    // the high-parallelism batch.
+    var confined = false
+    val (calib: Option[(Double, Double)], low: Option[Flagship.Result]) =
+      if (doScaling) {
+        confined = confineToCores(cpusLow)
+        System.err.println(s"[bench] affinity confined to $cpusLow cores: $confined")
+        val lo = calibrate(cpusLow)
+        val s = session(cpusLow)
+        Flagship.run(s, warmupPath, nProbes = 0)
+        val r = bestOf(s, s"local$cpusLow", nProbes = 0)
+        s.stop()
+        SparkSession.clearActiveSession()
+        SparkSession.clearDefaultSession()
+        confineToCores(cpus)
+        val hi = calibrate(cpus)
+        System.err.println(f"[bench] calibration: $cpusLow threads ${lo / 1e6}%.1f M inserts/s, " +
+          f"$cpus threads ${hi / 1e6}%.1f M inserts/s, efficiency ${hi / (lo * cpus / cpusLow)}%.3f")
+        (Some((lo, hi)), Some(r))
+      } else (None, None)
 
     // 4N = local[cpus] flagship + per-query timings
     val spark = session(cpus)
@@ -217,6 +241,7 @@ object Bench {
     head.append(f""","flagship_docs_per_sec":${high.docsPerSec}%.0f""")
     efficiency.foreach(e => head.append(f""","scaling_efficiency":$e%.3f"""))
     head.append(s""","scaling_pair":[$cpusLow,$cpus]""")
+    if (doScaling) head.append(s""","affinity_confined":$confined""")
     low.foreach(l => head.append(f""","docs_per_sec_local$cpusLow":${l.docsPerSec}%.0f"""))
     head.append(f""","fpr_measured":${high.fprMeasured}%.6f,"fpr_bound":${high.fprBound}%.6f""")
     head.append(s""","false_negatives":${high.falseNegatives}""")

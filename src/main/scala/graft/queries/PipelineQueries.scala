@@ -1,7 +1,8 @@
 package graft.queries
 
+import graft.core.Kll
 import graft.functions.Graft
-import graft.pipeline.{CheckpointRunner, SaltedAgg}
+import graft.pipeline.{CheckpointRunner, JoinPrune, RangePartition, SaltedAgg}
 import graft.pipeline.SaltedAgg.SketchSpec
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -89,6 +90,55 @@ object PipelineQueries {
         lit(allEqual.getLong(3) == langs).as("all_groups_present"))
     },
 
+    // O31: the EBF-pruned join must equal the plain join EXACTLY (the
+    // oracle is the plain DuckDB join) — end-to-end proof that pruning
+    // the fact-side exchange loses no matching row (no false negatives)
+    "ebf_join_prune" -> { (s, dir) =>
+      Graft.ensure(s)
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      val urgent = s.read.parquet(s"$dir/orders.parquet")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      JoinPrune.ebfPrunedJoin(li, "l_orderkey", urgent, "o_orderkey")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_li"),
+          round(sum(col("l_extendedprice")), 2).as("revenue"))
+        .orderBy("o_orderpriority")
+    },
+
+    // O32: KLL-driven balanced range repartitioning — exact placement
+    // (partition id == range id), all ranges populated and disjoint,
+    // sizes within the sketch's rank-error bound of ideal, and no row
+    // lost through the exchange (n_rows is the real oracle value)
+    "kll_range_partition_check" -> { (s, dir) =>
+      Graft.ensure(s)
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      val numParts = 16
+      val kll = Kll.fromBytes(
+        li.agg(call_udf("kll_agg", col("l_extendedprice")).as("sk"))
+          .head.getAs[Array[Byte]](0))
+      val parted = RangePartition.byKll(li, col("l_extendedprice"), kll, numParts)
+      val perPart = parted
+        .select(col("l_extendedprice").cast("double").as("v"))
+        .withColumn("pid", spark_partition_id())
+        .groupBy("pid")
+        .agg(count(lit(1)).as("cnt"), min(col("v")).as("mn"), max(col("v")).as("mx"))
+        .collect() // numParts rows — partition STATS, not data
+        .sortBy(_.getAs[Int]("pid"))
+      val n = perPart.map(_.getAs[Long]("cnt")).sum
+      val ideal = n.toDouble / numParts
+      // KLL k=200 normalized rank error ~1.55%: each boundary is off by
+      // <= eps*n rows, so a partition holds n/P +- 2*eps*n; 1/16 + 2*eps
+      // over 1/16 ~= 1.5. Typical error is far smaller; 1.5 is the bound.
+      val balanced = perPart.map(_.getAs[Long]("cnt")).max <= ideal * 1.5
+      val disjointOrdered = perPart.sliding(2).forall(w =>
+        w.length < 2 || w(0).getAs[Double]("mx") <= w(1).getAs[Double]("mn"))
+      s.range(1).select(
+        lit(n).as("n_rows"),
+        lit(perPart.length == numParts).as("all_partitions_nonempty"),
+        lit(balanced).as("balanced_within_sketch_bound"),
+        lit(disjointOrdered).as("ranges_disjoint_ordered"))
+    },
+
     "parallelism_invariance" -> { (s, dir) =>
       Graft.ensure(s)
       val d = docs(s, dir)
@@ -119,5 +169,15 @@ object PipelineQueries {
         "TRUE AS all_groups_present"),
     "parallelism_invariance" ->
       "SELECT TRUE AS bytes_identical_across_parallelism, TRUE AS all_langs_present",
+    "ebf_join_prune" ->
+      ("SELECT o_orderpriority, COUNT(*) AS n_li, " +
+        "ROUND(SUM(l_extendedprice), 2) AS revenue " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "WHERE o_orderpriority = '1-URGENT' " +
+        "GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+    "kll_range_partition_check" ->
+      ("SELECT COUNT(*) AS n_rows, TRUE AS all_partitions_nonempty, " +
+        "TRUE AS balanced_within_sketch_bound, TRUE AS ranges_disjoint_ordered " +
+        "FROM lineitem"),
   )
 }

@@ -16,7 +16,7 @@ class BenchLineSpec extends AnyFunSuite {
   // floor calibration — every optional field present at once
   private val maximalHeadline =
     ""","flagship_docs_per_sec":1074509,"scaling_efficiency":0.803""" +
-      ""","scaling_pair":[8,32],"docs_per_sec_local8":334598""" +
+      ""","scaling_pair":[8,32],"affinity_confined":true,"docs_per_sec_local8":334598""" +
       ""","fpr_measured":0.018210,"fpr_bound":0.018402,"false_negatives":0""" +
       ""","calibration_efficiency":0.642,"calibration_minserts_per_sec":[40.2,103.1]""" +
       ""","scaling_vs_machine_floor":1.251"""
@@ -51,5 +51,26 @@ class BenchLineSpec extends AnyFunSuite {
     // the per-query map is exactly what overflowed the driver window
     assert(node.get("queries") == null,
       "per-query timings must NOT ride the stdout line (BENCH/result.json carries them)")
+  }
+
+  test("confineToCores applies whole-process CPU affinity and restores") {
+    def allowedList(): String = {
+      val src = scala.io.Source.fromFile("/proc/self/status")
+      try src.getLines().find(_.startsWith("Cpus_allowed_list:")).get.split(":")(1).trim
+      finally src.close()
+    }
+    val nCores = Runtime.getRuntime.availableProcessors()
+    assume(nCores >= 2, "single-core box: nothing to confine")
+    val before = allowedList()
+    try {
+      val applied = Bench.confineToCores(2)
+      assume(applied, "taskset unavailable in this environment")
+      assert(allowedList() == "0-1",
+        "the JVM's own thread set (incl. this test thread) must be confined")
+    } finally {
+      // restore the full mask so sibling specs in this forked JVM are unaffected
+      Bench.confineToCores(nCores)
+    }
+    assert(allowedList() == before)
   }
 }
