@@ -13,7 +13,11 @@ import org.apache.spark.sql.SparkSession
   * sketch-build+merge throughput (docs/sec) on the synthetic webpages
   * bench table at TWO parallelism levels — local[8] (N) vs local[32]
   * (4N), the sandbox surrogate for N vs 4N executors — with the scaling
-  * efficiency and the FPR-within-bound check riding the same run.
+  * efficiency and the FPR-within-bound check riding the same run. The
+  * low level runs with the whole JVM taskset-confined to N cores, and
+  * the two levels are measured as interleaved adjacent trial PAIRS
+  * (median of per-pair ratios, each pair carrying its own machine-floor
+  * calibration) — see the scaling-protocol comment in main().
   *
   * The stdout line deliberately does NOT carry the per-query timing map:
   * rounds 1 and 2 both arrived driver-side truncated ("parsed": null)
@@ -94,11 +98,11 @@ object Bench {
     * host actually grants, which upper-bounds any Spark job's
     * measurable scaling efficiency. Reported in the bench JSON so the
     * Spark numbers can be read against the machine floor. */
-  private def calibrate(threads: Int, keysPerThread: Int = 4000000): Double = {
+  private def calibrate(threads: Int, reps: Int = 3, keysPerThread: Int = 4000000): Double = {
     val pool = java.util.concurrent.Executors.newFixedThreadPool(threads)
     val chunk = 250000 // fresh sketch per chunk bounds memory to ~12MB/thread
     try {
-      (1 to 3).map { _ =>
+      (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         val tasks = (0 until threads).map { t =>
           pool.submit(new Runnable {
@@ -151,13 +155,23 @@ object Bench {
     // throughput enters the metric and the FPR evidence rides the
     // high-parallelism run.
     val trials = sys.env.getOrElse("SPARK_GRAFT_TRIALS", "5").toInt
-    def bestOf(s: SparkSession, label: String, nProbes: Long = 1000000L): Flagship.Result = {
-      val rs = (1 to trials).map { i =>
+
+    def runOnce(nCpus: Int, nProbes: Long, label: String, i: Int): Flagship.Result = {
+      val s = session(nCpus)
+      try {
         val r = Flagship.run(s, benchPath, nProbes = nProbes)
         System.err.println(f"[bench] $label trial $i: perHost=${r.buildPerHostSec}%.2f " +
           f"cms=${r.cmsTokensSec}%.2f ebf=${r.globalEbfSec}%.2f probe=${r.probeSec}%.2f")
         r
+      } finally {
+        s.stop()
+        SparkSession.clearActiveSession()
+        SparkSession.clearDefaultSession()
       }
+    }
+    def phaseSum(r: Flagship.Result): Double =
+      r.buildPerHostSec + r.cmsTokensSec + r.globalEbfSec
+    def composite(rs: Seq[Flagship.Result]): Flagship.Result = {
       val base = rs.maxBy(_.docsPerSec)
       val t1 = rs.map(_.buildPerHostSec).min
       val t2 = rs.map(_.cmsTokensSec).min
@@ -166,39 +180,88 @@ object Bench {
         probeSec = rs.map(_.probeSec).min,
         docsPerSec = base.rows.toDouble / (t1 + t2 + t3))
     }
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.isEmpty) 0.0
+      else if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
 
     // N for the N-vs-4N pair (defaults to cpus/4 so a driver-chosen
-    // SPARK_GRAFT_CPUS always yields a sane pair); a small warmup run
-    // precedes each timed batch so JIT/codegen lands outside the window
+    // SPARK_GRAFT_CPUS always yields a sane pair)
     val cpusLow = sys.env.get("SPARK_GRAFT_CPUS_LOW").map(_.toInt)
       .getOrElse(math.max(2, cpus / 4))
-    // The entire low-parallelism batch (its calibration AND its Spark
-    // trials) runs with the whole JVM confined to cpusLow cores — see
-    // confineToCores. The mask is restored to the full core set before
-    // the high-parallelism batch.
+
+    // Scaling protocol (N vs 4N on one shared box):
+    //   1. The low level runs with the WHOLE JVM confined to cpusLow
+    //      cores (confineToCores) — local[8] on an unconfined 32-core
+    //      box is not an 8-core cluster (GC/JIT/IO threads spill onto
+    //      the idle cores and inflate low-level throughput).
+    //   2. Low and high trials are INTERLEAVED as adjacent pairs, each
+    //      pair preceded by its own machine-floor calibration at both
+    //      thread counts, and the reported efficiency is the MEDIAN of
+    //      per-pair ratios. The previous batched design (all low
+    //      trials, then all high) let box-load drift between the two
+    //      batches contaminate the ratio directly: one polluted batch
+    //      moved measured efficiency by up to 2x on this host.
+    // Per-pair efficiency uses each trial's own phase sum (not
+    // cross-trial minima) so both sides of a ratio come from the SAME
+    // minutes on the box; the composite (min-per-phase) results still
+    // feed the headline throughput and FPR evidence.
     var confined = false
-    val (calib: Option[(Double, Double)], low: Option[Flagship.Result]) =
+    case class PairStats(eff: Vector[Double], calibEff: Vector[Double],
+                         vsFloor: Vector[Double], calLo: Vector[Double], calHi: Vector[Double])
+    val (pairs: Option[PairStats], low: Option[Flagship.Result], highPaired: Option[Flagship.Result]) =
       if (doScaling) {
         confined = confineToCores(cpusLow)
         System.err.println(s"[bench] affinity confined to $cpusLow cores: $confined")
-        val lo = calibrate(cpusLow)
-        val s = session(cpusLow)
-        Flagship.run(s, warmupPath, nProbes = 0)
-        val r = bestOf(s, s"local$cpusLow", nProbes = 0)
-        s.stop()
-        SparkSession.clearActiveSession()
-        SparkSession.clearDefaultSession()
+        // JIT/codegen warmup at each level, outside every timed window
+        locally {
+          val s = session(cpusLow); Flagship.run(s, warmupPath, nProbes = 0); s.stop()
+          SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+        }
         confineToCores(cpus)
-        val hi = calibrate(cpus)
-        System.err.println(f"[bench] calibration: $cpusLow threads ${lo / 1e6}%.1f M inserts/s, " +
-          f"$cpus threads ${hi / 1e6}%.1f M inserts/s, efficiency ${hi / (lo * cpus / cpusLow)}%.3f")
-        (Some((lo, hi)), Some(r))
-      } else (None, None)
+        locally {
+          val s = session(cpus); Flagship.run(s, warmupPath); s.stop()
+          SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+        }
+        val lowRs = Vector.newBuilder[Flagship.Result]
+        val highRs = Vector.newBuilder[Flagship.Result]
+        val effs = Vector.newBuilder[Double]
+        val cEffs = Vector.newBuilder[Double]
+        val vsFs = Vector.newBuilder[Double]
+        val cLos = Vector.newBuilder[Double]
+        val cHis = Vector.newBuilder[Double]
+        for (i <- 1 to trials) {
+          confineToCores(cpusLow)
+          val cLo = calibrate(cpusLow, reps = 2)
+          val rLo = runOnce(cpusLow, 0, s"local$cpusLow", i)
+          confineToCores(cpus)
+          val cHi = calibrate(cpus, reps = 2)
+          val rHi = runOnce(cpus, 1000000L, s"local$cpus", i)
+          val eff = (rHi.rows / phaseSum(rHi)) / (rLo.rows / phaseSum(rLo)) / (cpus.toDouble / cpusLow)
+          val cEff = cHi / (cLo * cpus / cpusLow)
+          System.err.println(f"[bench] pair $i: eff=$eff%.3f floor=$cEff%.3f vs_floor=${eff / cEff}%.3f " +
+            f"(calib ${cLo / 1e6}%.1f -> ${cHi / 1e6}%.1f M inserts/s)")
+          lowRs += rLo; highRs += rHi
+          effs += eff; cEffs += cEff; vsFs += eff / cEff; cLos += cLo; cHis += cHi
+        }
+        (Some(PairStats(effs.result(), cEffs.result(), vsFs.result(), cLos.result(), cHis.result())),
+          Some(composite(lowRs.result())), Some(composite(highRs.result())))
+      } else (None, None, None)
 
-    // 4N = local[cpus] flagship + per-query timings
+    // query-sweep session (also hosts the flagship trials when the
+    // scaling pairs were skipped)
     val spark = session(cpus)
-    Flagship.run(spark, warmupPath)
-    val high = bestOf(spark, s"local$cpus")
+    val high = highPaired.getOrElse {
+      Flagship.run(spark, warmupPath)
+      composite((1 to trials).map { i =>
+        val r = Flagship.run(spark, benchPath)
+        System.err.println(f"[bench] local$cpus trial $i: perHost=${r.buildPerHostSec}%.2f " +
+          f"cms=${r.cmsTokensSec}%.2f ebf=${r.globalEbfSec}%.2f probe=${r.probeSec}%.2f")
+        r
+      })
+    }
 
     val failed = scala.collection.mutable.ArrayBuffer[String]()
     val queryList =
@@ -224,7 +287,10 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.2f" }
       .mkString("{", ",", "}")
     val total = results.filter(_._2 >= 0).map(_._2).sum
-    val efficiency = low.map(l => high.docsPerSec / ((cpus.toDouble / cpusLow) * l.docsPerSec))
+    // headline scaling = median of per-pair ratios (drift-immune); the
+    // composite-throughput ratio is also derivable from the per-level
+    // docs_per_sec fields for anyone who prefers it
+    val efficiency = pairs.map(p => median(p.eff))
 
     def flagshipJson(r: Flagship.Result): String =
       s"""{"rows":${r.rows},"host_groups":${r.hostGroups},""" +
@@ -245,17 +311,16 @@ object Bench {
     low.foreach(l => head.append(f""","docs_per_sec_local$cpusLow":${l.docsPerSec}%.0f"""))
     head.append(f""","fpr_measured":${high.fprMeasured}%.6f,"fpr_bound":${high.fprBound}%.6f""")
     head.append(s""","false_negatives":${high.falseNegatives}""")
-    calib.foreach { case (lo, hi) =>
-      val calibEff = hi / (lo * cpus / cpusLow)
-      head.append(f""","calibration_efficiency":$calibEff%.3f""")
-      head.append(f""","calibration_minserts_per_sec":[${lo / 1e6}%.1f,${hi / 1e6}%.1f]""")
+    pairs.foreach { p =>
+      head.append(s""","scaling_method":"paired-median-of-$trials"""")
+      head.append(f""","calibration_efficiency":${median(p.calibEff)}%.3f""")
+      head.append(f""","calibration_minserts_per_sec":[${median(p.calLo) / 1e6}%.1f,${median(p.calHi) / 1e6}%.1f]""")
       // Spark scaling read against the machine floor: the calibration
       // kernel (pure-JVM threaded EBF inserts, zero Spark) bounds what
       // this shared VM's cores+memory actually grant from N to 4N
-      // threads; >= 1.0 here means the engine scales at least as well
-      // as the box itself
-      efficiency.foreach(e =>
-        head.append(f""","scaling_vs_machine_floor":${e / calibEff}%.3f"""))
+      // threads in the SAME minutes as each pair; >= 1.0 means the
+      // engine scales at least as well as the box itself
+      head.append(f""","scaling_vs_machine_floor":${median(p.vsFloor)}%.3f""")
     }
 
     val line = contractLine(total, results.size, sfDir, failed.toSeq, head.result())
@@ -266,6 +331,13 @@ object Bench {
     val extras = new StringBuilder
     extras.append(s""","flagship_local$cpus":${flagshipJson(high)}""")
     low.foreach(l => extras.append(s""","flagship_local$cpusLow":${flagshipJson(l)}"""))
+    // the full per-pair record behind the headline medians
+    pairs.foreach { p =>
+      def arr(xs: Seq[Double]) = xs.map(x => f"$x%.3f").mkString("[", ",", "]")
+      extras.append(s""","pair_efficiencies":${arr(p.eff)}""")
+      extras.append(s""","pair_floor_efficiencies":${arr(p.calibEff)}""")
+      extras.append(s""","pair_vs_floor":${arr(p.vsFloor)}""")
+    }
     // per-lang heavy hitters from the fused phase-2 aggregation (the
     // north star's "heavy-hitter token frequencies", enumerated)
     val topJson = high.topTokensPerLang.toSeq.sortBy(_._1).map { case (lang, toks) =>

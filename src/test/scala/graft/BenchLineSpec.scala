@@ -18,6 +18,7 @@ class BenchLineSpec extends AnyFunSuite {
     ""","flagship_docs_per_sec":1074509,"scaling_efficiency":0.803""" +
       ""","scaling_pair":[8,32],"affinity_confined":true,"docs_per_sec_local8":334598""" +
       ""","fpr_measured":0.018210,"fpr_bound":0.018402,"false_negatives":0""" +
+      ""","scaling_method":"paired-median-of-5"""" +
       ""","calibration_efficiency":0.642,"calibration_minserts_per_sec":[40.2,103.1]""" +
       ""","scaling_vs_machine_floor":1.251"""
 
