@@ -139,6 +139,38 @@ object PipelineQueries {
         lit(disjointOrdered).as("ranges_disjoint_ordered"))
     },
 
+    // O33: Structured Streaming build == batch build, byte-for-byte.
+    // The documents table is re-laid-out as 4 files and streamed one
+    // file per micro-batch (AvailableNow -> deterministic, nothing
+    // dropped), so the sketch UDAFs' merge path runs through the
+    // streaming STATE STORE across 4 batches; the EBF normal form and
+    // HLL/CMS commutativity make the result byte-identical to the
+    // one-shot batch aggregation regardless of the merge tree.
+    "stream_vs_batch_sketch_equivalence" -> { (s, dir) =>
+      Graft.ensure(s)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_stream").toString
+      docs(s, dir).repartition(4).write.mode("overwrite").parquet(tmp)
+      val staged = s.read.parquet(tmp)
+      def sketchAggs = Seq(
+        expr("ebf_agg(cast(doc_id as string))").as("ebf"),
+        expr("hll_agg(cast(doc_id as string))").as("hll"),
+        expr("cms_agg(source)").as("cms"))
+      val qname = "graft_stream_eq_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val q = s.readStream.schema(staged.schema)
+        .option("maxFilesPerTrigger", "1").parquet(tmp)
+        .groupBy(col("lang")).agg(sketchAggs.head, sketchAggs.tail: _*)
+        .writeStream.outputMode("complete").format("memory").queryName(qname)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val batch = staged.groupBy(col("lang")).agg(sketchAggs.head, sketchAggs.tail: _*)
+      s.table(qname).as("a").join(batch.as("b"), "lang")
+        .select(col("lang"),
+          (col("a.ebf") === col("b.ebf")).as("ebf_equal"),
+          (col("a.hll") === col("b.hll")).as("hll_equal"),
+          (col("a.cms") === col("b.cms")).as("cms_equal"))
+        .orderBy("lang")
+    },
+
     "parallelism_invariance" -> { (s, dir) =>
       Graft.ensure(s)
       val d = docs(s, dir)
@@ -179,5 +211,8 @@ object PipelineQueries {
       ("SELECT COUNT(*) AS n_rows, TRUE AS all_partitions_nonempty, " +
         "TRUE AS balanced_within_sketch_bound, TRUE AS ranges_disjoint_ordered " +
         "FROM lineitem"),
+    "stream_vs_batch_sketch_equivalence" ->
+      ("SELECT lang, TRUE AS ebf_equal, TRUE AS hll_equal, TRUE AS cms_equal " +
+        "FROM (SELECT DISTINCT lang FROM documents) ORDER BY lang"),
   )
 }
