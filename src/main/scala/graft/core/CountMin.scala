@@ -85,6 +85,31 @@ final class Cms(var depth: Int, var width: Int, var seed: Long) extends BytesSer
     this
   }
 
+  /** Inner-product (equi-join size) estimate between two frequency
+    * sketches over the same parameters: min over rows of the row-wise
+    * dot product (Cormode & Muthukrishnan 2005, section on inner
+    * products). Estimates sum_k fA(k) * fB(k) — the cardinality of the
+    * equi-join between the two sketched key multisets — from the
+    * sketches ALONE: never under-estimates (collision cross-terms are
+    * non-negative), and over-estimates by at most eps * totalA * totalB
+    * with prob >= 1 - delta. This is join-size estimation for free off
+    * sketches the engine already collects per partition/snapshot. */
+  def innerProduct(other: Cms): Long = {
+    require(depth == other.depth && width == other.width && seed == other.seed,
+      "cannot inner-product CMS with different parameters")
+    var min = Long.MaxValue
+    var r = 0
+    while (r < depth) {
+      var s = 0L
+      var j = r * width
+      val end = j + width
+      while (j < end) { s += table(j) * other.table(j); j += 1 }
+      if (s < min) min = s
+      r += 1
+    }
+    min
+  }
+
   def eps: Double = math.E / width
   def delta: Double = math.exp(-depth.toDouble)
 

@@ -110,6 +110,11 @@ object Graft {
       (sk: Array[Byte], key: String) =>
         if (key == null) 0L else SketchCache.cms(sk).estimate(key))
     r.register("cms_total", (sk: Array[Byte]) => SketchCache.cms(sk).total)
+    // equi-join size estimate from two sketches alone (row-wise dot
+    // product, min over rows): never under-estimates, within
+    // eps*totalA*totalB whp — sketch-driven join planning
+    r.register("cms_inner_product",
+      (a: Array[Byte], b: Array[Byte]) => SketchCache.cms(a).innerProduct(SketchCache.cms(b)))
     r.register("kll_quantile",
       (sk: Array[Byte], q: Double) => SketchCache.kll(sk).quantile(q))
     r.register("kll_rank",

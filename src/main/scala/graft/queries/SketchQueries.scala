@@ -187,6 +187,28 @@ object SketchQueries {
         .orderBy("token")
     },
 
+    // O34: equi-join cardinality estimated from two CMS sketches ALONE
+    // (row-wise inner product, min over rows) — sketch-driven join
+    // planning. The published guarantee: never under-estimates, over by
+    // at most eps*totalA*totalB whp. exact_join_size is the real oracle
+    // value (DuckDB computes the actual join count).
+    "cms_join_size_check" -> { (s, dir) =>
+      Graft.ensure(s)
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      val ord = s.read.parquet(s"$dir/orders.parquet")
+      val a = Cms.fromBytes(li.select(expr("cms_agg(cast(l_orderkey as string))"))
+        .head.getAs[Array[Byte]](0))
+      val b = Cms.fromBytes(ord.select(expr("cms_agg(cast(o_orderkey as string))"))
+        .head.getAs[Array[Byte]](0))
+      val est = a.innerProduct(b)
+      val exact = li.join(ord, li("l_orderkey") === ord("o_orderkey")).count()
+      val bound = a.eps * a.total * b.total
+      s.range(1).select(
+        lit(exact).as("exact_join_size"),
+        lit(est >= exact).as("overestimates"),
+        lit(est <= exact + bound).as("within_published_bound"))
+    },
+
     // the literal-sketch REWRITE path in the driver gate: the collected
     // CMS probed as an X'..' literal in pure SQL — which
     // ReplaceLiteralEbfProbe rewrites to the once-per-task native
@@ -373,6 +395,9 @@ object SketchQueries {
       "SELECT token, TRUE AS over, TRUE AS within_eps FROM (SELECT DISTINCT unnest(string_split(text, ' ')) AS token FROM documents) ORDER BY token",
     "cms_tokens_agg_equivalence" ->
       "SELECT TRUE AS byte_identical",
+    "cms_join_size_check" ->
+      ("SELECT (SELECT COUNT(*) FROM lineitem JOIN orders ON l_orderkey = o_orderkey) " +
+        "AS exact_join_size, TRUE AS overestimates, TRUE AS within_published_bound"),
     "cms_literal_probe_check" ->
       "SELECT token, TRUE AS over, TRUE AS within_eps FROM (SELECT DISTINCT unnest(string_split(text, ' ')) AS token FROM documents) ORDER BY token",
     "exact_token_topk" ->

@@ -76,6 +76,31 @@ class CmsSpec extends AnyFunSuite {
     assert(overBudgetViolations <= 3, s"$overBudgetViolations eps-bound violations")
   }
 
+  test("inner product: exact on collision-free data, bounded overestimate on join-sized data") {
+    val rnd = new scala.util.Random(11)
+    // A: key i with multiplicity fA(i); B: overlapping key range, fB(i)
+    val fA = (0 until 300).map(i => s"k$i" -> (1 + rnd.nextInt(5))).toMap
+    val fB = (150 until 450).map(i => s"k$i" -> (1 + rnd.nextInt(4))).toMap
+    val a = Cms.empty()
+    val b = Cms.empty()
+    fA.foreach { case (k, n) => (1 to n).foreach(_ => a.add(k)) }
+    fB.foreach { case (k, n) => (1 to n).foreach(_ => b.add(k)) }
+    val exact = fA.keysIterator.map(k => fA(k).toLong * fB.getOrElse(k, 0).toLong).sum
+    val est = a.innerProduct(b)
+    assert(est >= exact, s"inner product under-estimated: $est < $exact")
+    assert(est <= exact + a.eps * a.total * b.total,
+      s"inner product above published bound: $est vs $exact + ${a.eps * a.total * b.total}")
+    // splitting A's stream and merging the parts must not change it
+    val a1 = Cms.empty()
+    val a2 = Cms.empty()
+    fA.foreach { case (k, n) => (1 to n).foreach(_ => (if (rnd.nextBoolean()) a1 else a2).add(k)) }
+    assert(a1.merge(a2).innerProduct(b) === est)
+    // mismatched parameters refuse rather than silently mis-estimate
+    intercept[IllegalArgumentException] {
+      a.innerProduct(Cms.empty(width = Cms.DefaultWidth * 2))
+    }
+  }
+
   test("merge = elementwise add, byte-identical under random merge trees") {
     val rnd = new scala.util.Random(11)
     val items = (0 until 20000).map(i => s"i${rnd.nextInt(300)}")
