@@ -215,15 +215,25 @@ object Bench {
       if (doScaling) try {
         confined = confineToCores(cpusLow)
         System.err.println(s"[bench] affinity confined to $cpusLow cores: $confined")
-        // JIT/codegen warmup at each level, outside every timed window
+        // JIT/codegen warmup at each level, outside every timed window.
+        // try/finally: a leaked SparkContext would make every later
+        // session(cpus).getOrCreate silently reuse the low-parallelism
+        // context (getOrCreate ignores the new master), mislabeling all
+        // subsequent numbers
         locally {
-          val s = session(cpusLow); Flagship.run(s, warmupPath, nProbes = 0); s.stop()
-          SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+          val s = session(cpusLow)
+          try Flagship.run(s, warmupPath, nProbes = 0) finally {
+            s.stop()
+            SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+          }
         }
         confineToCores(cpus)
         locally {
-          val s = session(cpus); Flagship.run(s, warmupPath); s.stop()
-          SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+          val s = session(cpus)
+          try Flagship.run(s, warmupPath) finally {
+            s.stop()
+            SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+          }
         }
         val lowRs = Vector.newBuilder[Flagship.Result]
         val highRs = Vector.newBuilder[Flagship.Result]
@@ -256,6 +266,7 @@ object Bench {
         // scaling fields rather than nothing at all)
         case e: Throwable =>
           System.err.println(s"[bench] scaling phase failed, continuing without it: $e")
+          confined = false // no confined measurement survives into the line
           confineToCores(cpus)
           SparkSession.clearActiveSession()
           SparkSession.clearDefaultSession()

@@ -100,10 +100,26 @@ final class Cms(var depth: Int, var width: Int, var seed: Long) extends BytesSer
     var min = Long.MaxValue
     var r = 0
     while (r < depth) {
+      // saturating arithmetic: at 10^12-row totals a row's dot product
+      // can exceed Long range; wrapping would return a small/negative
+      // value and silently break the never-under-estimates guarantee.
+      // A saturated row reads as Long.MaxValue ("at least this"), so
+      // the returned estimate stays >= the true inner product.
       var s = 0L
       var j = r * width
       val end = j + width
-      while (j < end) { s += table(j) * other.table(j); j += 1 }
+      while (j < end && s != Long.MaxValue) {
+        val a = table(j)
+        val b = other.table(j)
+        if (a != 0L && b != 0L) {
+          if (a > Long.MaxValue / b) s = Long.MaxValue
+          else {
+            val p = a * b
+            s = if (s + p < s) Long.MaxValue else s + p
+          }
+        }
+        j += 1
+      }
       if (s < min) min = s
       r += 1
     }

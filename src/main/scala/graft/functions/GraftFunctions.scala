@@ -153,7 +153,12 @@ object Graft {
     * hot probe paths. */
   def ebfProbe(spark: SparkSession, sketch: Ebf): UserDefinedFunction = {
     val bc = spark.sparkContext.broadcast(sketch)
-    org.apache.spark.sql.functions.udf((key: String) => bc.value.mightContain(key))
+    // null key -> miss, not NPE: a null was never inserted (the
+    // aggregators skip nulls), mirroring ebf_might_contain's guard —
+    // and an inner join would drop the null-key row anyway, which is
+    // what makes JoinPrune's null handling exact
+    org.apache.spark.sql.functions.udf(
+      (key: String) => key != null && bc.value.mightContain(key))
   }
 }
 

@@ -63,6 +63,18 @@ object JoinPrune {
     val jt = joinType.toLowerCase.replace("_", "")
     require(jt == "inner" || jt == "leftsemi" || jt == "semi",
       s"EBF pruning preserves semantics only for inner/left_semi joins, got $joinType")
+    // The probe compares canonical STRING renderings while the join
+    // compares values under Spark's numeric coercion; those agree only
+    // when both keys already have the same type (7.0 renders "7.0",
+    // its INT match renders "7" — the probe would prune a matching
+    // row). Refuse mismatched types rather than silently lose rows;
+    // the caller casts one side explicitly and the join then compares
+    // what the filter compared.
+    val ft = fact.schema(factKey).dataType
+    val bt = build.schema(buildKey).dataType
+    require(ft == bt,
+      s"join key types must match for exact pruning: $factKey is ${ft.sql}, " +
+        s"$buildKey is ${bt.sql} — cast one side first")
     val pruned = prunedFact(fact, fact(factKey), buildFilter(build, build(buildKey)))
     pruned.join(build, pruned(factKey) === build(buildKey), joinType)
   }

@@ -161,14 +161,29 @@ object PipelineQueries {
         .groupBy(col("lang")).agg(sketchAggs.head, sketchAggs.tail: _*)
         .writeStream.outputMode("complete").format("memory").queryName(qname)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-      q.awaitTermination()
-      val batch = staged.groupBy(col("lang")).agg(sketchAggs.head, sketchAggs.tail: _*)
-      s.table(qname).as("a").join(batch.as("b"), "lang")
-        .select(col("lang"),
-          (col("a.ebf") === col("b.ebf")).as("ebf_equal"),
-          (col("a.hll") === col("b.hll")).as("hll_equal"),
-          (col("a.cms") === col("b.cms")).as("cms_equal"))
-        .orderBy("lang")
+      // materialize the comparison (a handful of lang rows) BEFORE
+      // deleting the staged copy — the returned frame must not depend
+      // on the temp dir, which would otherwise leak a full table copy
+      // per run
+      val rows =
+        try {
+          q.awaitTermination()
+          val batch = staged.groupBy(col("lang")).agg(sketchAggs.head, sketchAggs.tail: _*)
+          s.table(qname).as("a").join(batch.as("b"), "lang")
+            .select(col("lang"),
+              (col("a.ebf") === col("b.ebf")).as("ebf_equal"),
+              (col("a.hll") === col("b.hll")).as("hll_equal"),
+              (col("a.cms") === col("b.cms")).as("cms_equal"))
+            .orderBy("lang").collect().toSeq
+        } finally {
+          s.catalog.dropTempView(qname)
+          val dir = new java.io.File(tmp)
+          Option(dir.listFiles()).foreach(_.foreach(_.delete()))
+          dir.delete()
+        }
+      import s.implicits._
+      rows.map(r => (r.getString(0), r.getBoolean(1), r.getBoolean(2), r.getBoolean(3)))
+        .toDF("lang", "ebf_equal", "hll_equal", "cms_equal")
     },
 
     "parallelism_invariance" -> { (s, dir) =>

@@ -63,15 +63,21 @@ class BenchLineSpec extends AnyFunSuite {
     val nCores = Runtime.getRuntime.availableProcessors()
     assume(nCores >= 2, "single-core box: nothing to confine")
     val before = allowedList()
+    def restore(): Boolean = {
+      // restore the SAVED mask, not 0..(nCores-1): on a cpuset-pinned
+      // or quota-limited host those differ, and sibling suites in this
+      // forked JVM would otherwise run permanently confined
+      val p = new ProcessBuilder("taskset", "-a", "-p", "-c", before,
+        ProcessHandle.current().pid().toString).redirectErrorStream(true).start()
+      p.getInputStream.readAllBytes()
+      p.waitFor() == 0
+    }
     try {
       val applied = Bench.confineToCores(2)
       assume(applied, "taskset unavailable in this environment")
       assert(allowedList() == "0-1",
         "the JVM's own thread set (incl. this test thread) must be confined")
-    } finally {
-      // restore the full mask so sibling specs in this forked JVM are unaffected
-      Bench.confineToCores(nCores)
-    }
+    } finally restore()
     assert(allowedList() == before)
   }
 }

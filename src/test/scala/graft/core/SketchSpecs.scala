@@ -101,6 +101,16 @@ class CmsSpec extends AnyFunSuite {
     }
   }
 
+  test("inner product saturates instead of wrapping past Long range") {
+    val a = Cms.empty()
+    val b = Cms.empty()
+    a.add("x", Long.MaxValue / 4)
+    b.add("x", Long.MaxValue / 4)
+    // the cell product overflows 64 bits; wrapping would return a
+    // negative/small under-estimate
+    assert(a.innerProduct(b) === Long.MaxValue)
+  }
+
   test("merge = elementwise add, byte-identical under random merge trees") {
     val rnd = new scala.util.Random(11)
     val items = (0 until 20000).map(i => s"i${rnd.nextInt(300)}")
