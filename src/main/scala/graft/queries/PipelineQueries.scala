@@ -83,6 +83,14 @@ object PipelineQueries {
       val allEqual = joined.agg(
         bool_and(col("ebf_equal")), bool_and(col("hll_equal")), bool_and(col("cms_equal")), count(lit(1))).head
       val langs = single.count()
+      // everything above is materialized; drop the checkpoint staging
+      // (chunk parquet + manifest) instead of leaking it per run
+      locally {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(new java.io.File(base))
+      }
       s.range(1).select(
         lit(manifestAfterKill == 2).as("killed_after_two_chunks"),
         lit(allEqual.getBoolean(0) && allEqual.getBoolean(1) && allEqual.getBoolean(2))

@@ -94,22 +94,31 @@ class SparkPipelineSpec extends AnyFunSuite {
     assert(math.abs(est - 707.1) / 707.1 < 0.05, s"weighted median est $est")
   }
 
+  private def rmrf(path: String): Unit = {
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    rm(new java.io.File(path))
+  }
+
   test("checkpoint kill + resume equals single-shot build") {
     val dir = java.nio.file.Files.createTempDirectory("graft_test_ckpt").toString
-    val killed = CheckpointRunner.run(spark, wp, col("url"), 4, Seq("lang"), specs,
-      dir, stopAfter = 2)
-    assert(killed == null)
-    assert(CheckpointRunner.readManifest(dir).size === 2)
-    val resumed = CheckpointRunner.run(spark, wp, col("url"), 4, Seq("lang"), specs, dir)
-    val single = SaltedAgg.plainAgg(wp, Seq("lang"), specs)
-    val r = resumed.select("lang", "ebf", "hll", "cms").collect()
-      .map(x => x.getString(0) -> x.toSeq.tail.map(_.asInstanceOf[Array[Byte]].toSeq)).toMap
-    val s = single.collect()
-      .map(x => x.getString(0) -> x.toSeq.tail.map(_.asInstanceOf[Array[Byte]].toSeq)).toMap
-    assert(r === s)
-    val manifest = CheckpointRunner.readManifest(dir)
-    assert(manifest.size === 4)
-    assert(manifest.map(_.rows).sum === 5000L)
+    try {
+      val killed = CheckpointRunner.run(spark, wp, col("url"), 4, Seq("lang"), specs,
+        dir, stopAfter = 2)
+      assert(killed == null)
+      assert(CheckpointRunner.readManifest(dir).size === 2)
+      val resumed = CheckpointRunner.run(spark, wp, col("url"), 4, Seq("lang"), specs, dir)
+      val single = SaltedAgg.plainAgg(wp, Seq("lang"), specs)
+      val r = resumed.select("lang", "ebf", "hll", "cms").collect()
+        .map(x => x.getString(0) -> x.toSeq.tail.map(_.asInstanceOf[Array[Byte]].toSeq)).toMap
+      val s = single.collect()
+        .map(x => x.getString(0) -> x.toSeq.tail.map(_.asInstanceOf[Array[Byte]].toSeq)).toMap
+      assert(r === s)
+      val manifest = CheckpointRunner.readManifest(dir)
+      assert(manifest.size === 4)
+      assert(manifest.map(_.rows).sum === 5000L)
+    } finally rmrf(dir)
   }
 
   test("aggregation plan uses ObjectHashAggregate and prunes unused columns") {
@@ -120,25 +129,29 @@ class SparkPipelineSpec extends AnyFunSuite {
 
   test("parquet scan prunes the heavy html column when not referenced") {
     val dir = java.nio.file.Files.createTempDirectory("graft_wp_prune").toString
-    wp.write.mode("overwrite").parquet(dir)
-    val q = spark.read.parquet(dir).groupBy("lang").agg(expr("ebf_agg(url)"))
-    val scan = q.queryExecution.executedPlan.toString
-    val readSchema = scan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
-    assert(readSchema.contains("url"), readSchema)
-    assert(!readSchema.contains("html"), s"html must be pruned from scan: $readSchema")
+    try {
+      wp.write.mode("overwrite").parquet(dir)
+      val q = spark.read.parquet(dir).groupBy("lang").agg(expr("ebf_agg(url)"))
+      val scan = q.queryExecution.executedPlan.toString
+      val readSchema = scan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+      assert(readSchema.contains("url"), readSchema)
+      assert(!readSchema.contains("html"), s"html must be pruned from scan: $readSchema")
+    } finally rmrf(dir)
   }
 
   test("lang filter prunes partitions of the lang-partitioned table") {
     val dir = java.nio.file.Files.createTempDirectory("graft_wp_part").toString
-    wp.write.mode("overwrite").partitionBy("lang").parquet(dir)
-    val q = spark.read.parquet(dir).filter(col("lang") === "de")
-      .groupBy("lang").agg(expr("hll_agg(url)"))
-    val plan = q.queryExecution.executedPlan.toString
-    val partLine = plan.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
-    assert(partLine.contains("lang"), s"expected lang partition filter in:\n$plan")
-    // only the lang=de directory is scanned
-    val cnt = spark.read.parquet(dir).filter(col("lang") === "de").count()
-    assert(cnt > 0 && cnt < 5000)
+    try {
+      wp.write.mode("overwrite").partitionBy("lang").parquet(dir)
+      val q = spark.read.parquet(dir).filter(col("lang") === "de")
+        .groupBy("lang").agg(expr("hll_agg(url)"))
+      val plan = q.queryExecution.executedPlan.toString
+      val partLine = plan.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+      assert(partLine.contains("lang"), s"expected lang partition filter in:\n$plan")
+      // only the lang=de directory is scanned
+      val cnt = spark.read.parquet(dir).filter(col("lang") === "de").count()
+      assert(cnt > 0 && cnt < 5000)
+    } finally rmrf(dir)
   }
 
   test("remaining SQL fns: kll_rank, tdigest_cdf, cms_total, hamming64, ebf_fpr, graft_shard") {
