@@ -65,6 +65,14 @@ object Bench {
       // fine (splits >> cores); here split smaller so scan parallelism
       // matches the core count.
       .config("spark.sql.files.maxPartitionBytes", (32 * 1024 * 1024).toString)
+      // A/B knob: start AQE from finer-grained shuffle partitions (it
+      // can only coalesce, never split) so reduce-side stragglers don't
+      // idle cores at the stage tail; 1 = plain cpus partitions.
+      // Measured at mult=4 (32M flagship, 3 trials): phase minima 47.0s
+      // vs 45.8s at mult=1 — within trial noise, so the default stays 1
+      // (the reduce tail is not what limits 8->32 scaling here)
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        (cpus * sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_MULT", "1").toInt).toString)
       .config("spark.driver.memory", sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -46,6 +46,26 @@ class JoinPruneSpec extends AnyFunSuite {
     assert(pruned === plain)
   }
 
+  test("null fact keys prune as misses (no NPE), matching the inner join") {
+    import spark.implicits._
+    val fact = spark.range(2000)
+      .select(when(col("id") % 7 === 0, lit(null)).otherwise(col("id") % 97).as("fk"))
+    val build = spark.range(40).select((col("id") * 3 % 97).as("bk")).distinct()
+    val plain = fact.join(build, fact("fk") === build("bk"))
+      .select("fk").as[Long].collect().sorted.toSeq
+    val pruned = JoinPrune.ebfPrunedJoin(fact, "fk", build, "bk")
+      .select("fk").as[Long].collect().sorted.toSeq
+    assert(pruned === plain)
+  }
+
+  test("mismatched key types are refused rather than silently losing rows") {
+    val fact = spark.range(100).select(col("id").cast("double").as("fk"))
+    val build = spark.range(10).select(col("id").as("bk"))
+    intercept[IllegalArgumentException] {
+      JoinPrune.ebfPrunedJoin(fact, "fk", build, "bk")
+    }
+  }
+
   test("left_semi pruned join matches; fact-preserving types are rejected") {
     import spark.implicits._
     val fact = spark.range(5000).select((col("id") % 997).as("fk"))
