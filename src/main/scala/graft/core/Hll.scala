@@ -4,13 +4,24 @@ import java.nio.ByteBuffer
 
 /** HyperLogLog cardinality sketch, implemented from the published
   * algorithm (Flajolet et al. 2007; small-range linear-counting
-  * correction per the HLL++ paper, Heule et al. 2013). Dense
-  * representation only: 2^p byte registers. Merge = register-wise max,
-  * which is associative, commutative, idempotent — serialized bytes are
-  * identical under arbitrary partition merge orderings.
+  * correction per the HLL++ paper, Heule et al. 2013). In memory the
+  * representation is always dense (2^p byte registers — simple, O(1)
+  * insert); the WIRE format is adaptive, HLL++-style: a sketch with k
+  * non-zero registers serializes as a sorted (idx, rho) entry list
+  * when that is smaller (4 + 4k < 2^p bytes), dense otherwise. At the
+  * 10^12-document scale most per-(lang, host) groups are tiny — a
+  * 10-url host costs ~60 wire bytes instead of 4 KiB, which is the
+  * difference between shuffling GBs and shuffling TBs of phase-1
+  * sketch state.
   *
-  * Standard error sigma = 1.04 / sqrt(2^p); p = 12 (4 KiB) gives ~1.6%.
-  * Header fields are vars solely for [[BytesSerde]] re-init.
+  * Merge = register-wise max: associative, commutative, idempotent.
+  * The wire representation is chosen by a rule over register CONTENT
+  * alone, so equal register sets serialize to identical bytes and the
+  * byte-identity-under-arbitrary-merge-orderings guarantee survives
+  * the sparse encoding.
+  *
+  * Standard error sigma = 1.04 / sqrt(2^p); p = 12 (4 KiB dense) gives
+  * ~1.6%. Header fields are vars solely for [[BytesSerde]] re-init.
   */
 final class Hll(var p: Int, var seed: Long) extends BytesSerde {
   require(p >= 4 && p <= 18, s"p must be in [4,18], got $p")
@@ -67,11 +78,28 @@ final class Hll(var p: Int, var seed: Long) extends BytesSerde {
   def standardError: Double = 1.04 / math.sqrt(m.toDouble)
 
   def toBytes: Array[Byte] = {
-    val buf = ByteBuffer.allocate(4 + 4 + 8 + m)
+    var k = 0
+    var i = 0
+    while (i < m) { if (regs(i) != 0) k += 1; i += 1 }
+    // canonical representation rule — a pure function of register
+    // content, so any merge order yields identical bytes
+    val sparse = 4 + 4 * k < m
+    val buf = ByteBuffer.allocate(4 + 4 + 8 + 1 + (if (sparse) 4 + 4 * k else m))
     buf.putInt(Hll.MAGIC)
     buf.putInt(p)
     buf.putLong(seed)
-    buf.put(regs)
+    buf.put(if (sparse) 1.toByte else 0.toByte)
+    if (sparse) {
+      buf.putInt(k)
+      i = 0
+      while (i < m) { // index-ascending: deterministic entry order
+        if (regs(i) != 0) {
+          buf.put((i >>> 16).toByte).put((i >>> 8).toByte).put(i.toByte)
+          buf.put(regs(i))
+        }
+        i += 1
+      }
+    } else buf.put(regs)
     buf.array()
   }
 
@@ -81,8 +109,20 @@ final class Hll(var p: Int, var seed: Long) extends BytesSerde {
     require(magic == Hll.MAGIC, f"bad HLL magic 0x$magic%08x")
     p = in.getInt()
     seed = in.getLong()
+    val mode = in.get()
     regs = new Array[Byte](m)
-    in.get(regs)
+    if (mode == 1.toByte) {
+      val k = in.getInt()
+      var e = 0
+      while (e < k) {
+        val idx = ((in.get() & 0xff) << 16) | ((in.get() & 0xff) << 8) | (in.get() & 0xff)
+        regs(idx) = in.get()
+        e += 1
+      }
+    } else {
+      require(mode == 0.toByte, s"bad HLL wire mode $mode")
+      in.get(regs)
+    }
   }
 }
 

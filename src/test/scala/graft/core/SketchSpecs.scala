@@ -43,6 +43,40 @@ class HllSpec extends AnyFunSuite {
     }
   }
 
+  test("sparse wire format: small sketches shrink ~60x, round-trip, and stay canonical") {
+    // tiny sketch -> sparse wire bytes, far under the 4 KiB dense form
+    val small = Hll.empty()
+    (1 to 10).foreach(i => small.add(s"url$i"))
+    val smallBytes = small.toBytes
+    assert(smallBytes.length < 100, s"sparse form is ${smallBytes.length}B")
+    assert(Hll.fromBytes(smallBytes).estimate === small.estimate)
+    assert(Hll.fromBytes(smallBytes).toBytes.toSeq === smallBytes.toSeq)
+
+    // large sketch -> dense wire form, also round-trips
+    val big = Hll.empty()
+    (1 to 50000).foreach(i => big.add(s"url$i"))
+    assert(big.toBytes.length > 4000)
+    assert(Hll.fromBytes(big.toBytes).toBytes.toSeq === big.toBytes.toSeq)
+
+    // canonical across the sparse/dense boundary: many sparse parts
+    // merged in random trees == the directly-built sketch, byte-equal
+    val rnd = new scala.util.Random(7)
+    val keys = (1 to 3000).map(i => s"k$i")
+    val direct = Hll.empty()
+    keys.foreach(direct.add)
+    val parts = keys.grouped(50).map { g =>
+      val h = Hll.empty(); g.foreach(h.add); h
+    }.toBuffer
+    while (parts.size > 1) {
+      val i = rnd.nextInt(parts.size)
+      val a = parts.remove(i)
+      val b = parts.remove(rnd.nextInt(parts.size))
+      // exercise the wire format at every internal merge step
+      parts.append(Hll.fromBytes(a.toBytes).merge(Hll.fromBytes(b.toBytes)))
+    }
+    assert(parts.head.toBytes.toSeq === direct.toBytes.toSeq)
+  }
+
   test("serde round-trip; duplicates don't change estimate") {
     val h = Hll.empty()
     (0 until 1000).foreach(i => h.add(i.toLong))
