@@ -327,8 +327,47 @@ final class Ebf(
     out.writeInt(m0); out.writeInt(k); out.writeInt(l0); out.writeInt(level)
     out.writeInt(alphaNum); out.writeInt(alphaDen)
     out.writeLong(seed); out.writeLong(n)
+    // Counts section: dense varints, or a sparse (nnz, then
+    // index-delta/count pairs) list when that is byte-cheaper. The web's
+    // long tail makes most per-host filters nearly empty, where the
+    // dense form pays one byte per EMPTY bucket (1 KiB at m0=1024);
+    // sparse costs ~2 bytes per occupied bucket. The representation is
+    // chosen by exact byte cost — a pure function of content — so equal
+    // filters serialize identically under any merge ordering.
+    var dense = 0
+    var nnz = 0
+    var sparseCost = 0
+    var prev = -1
     var b = 0
-    while (b < m) { writeVarInt(out, counts(b)); b += 1 }
+    while (b < m) {
+      val c = counts(b)
+      dense += varintLen(c)
+      if (c != 0) {
+        nnz += 1
+        sparseCost += varintLen(b - prev - 1) + varintLen(c)
+        prev = b
+      }
+      b += 1
+    }
+    sparseCost += varintLen(nnz)
+    val sparseMode = sparseCost < dense
+    out.writeByte(if (sparseMode) 1 else 0)
+    if (sparseMode) {
+      writeVarInt(out, nnz)
+      prev = -1
+      b = 0
+      while (b < m) {
+        if (counts(b) != 0) {
+          writeVarInt(out, b - prev - 1)
+          writeVarInt(out, counts(b))
+          prev = b
+        }
+        b += 1
+      }
+    } else {
+      b = 0
+      while (b < m) { writeVarInt(out, counts(b)); b += 1 }
+    }
     var acc = 0L
     var accBits = 0
     var i = 0
@@ -357,6 +396,13 @@ final class Ebf(
     out.writeByte(v)
   }
 
+  private def varintLen(v0: Int): Int = {
+    var v = v0
+    var len = 1
+    while ((v & ~0x7f) != 0) { v >>>= 7; len += 1 }
+    len
+  }
+
   def copyOf: Ebf = Ebf.fromBytes(toBytes)
 
   private[core] def loadBytes(bytes: Array[Byte]): Unit = {
@@ -369,8 +415,24 @@ final class Ebf(
     val m = m0 << level
     counts = new Array[Int](m)
     var total = 0
+    val mode = in.get()
     var b = 0
-    while (b < m) { counts(b) = Ebf.readVarInt(in); total += counts(b); b += 1 }
+    if (mode == 1.toByte) {
+      val nnz = Ebf.readVarInt(in)
+      var prev = -1
+      var e = 0
+      while (e < nnz) {
+        val bkt = prev + 1 + Ebf.readVarInt(in)
+        counts(bkt) = Ebf.readVarInt(in)
+        total += counts(bkt)
+        prev = bkt
+        e += 1
+      }
+    } else {
+      require(mode == 0.toByte, s"bad EBF wire mode $mode")
+      while (b < m) { counts(b) = Ebf.readVarInt(in); total += counts(b); b += 1 }
+    }
+    b = 0
     pairs = new Array[Long](math.max(64, total))
     numPairs = total
     val w = l0 - level
