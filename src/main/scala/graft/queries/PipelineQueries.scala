@@ -147,6 +147,40 @@ object PipelineQueries {
         lit(disjointOrdered).as("ranges_disjoint_ordered"))
     },
 
+    // The persistence claim behind O31 and the sharded probe: a built filter is a
+    // first-class VALUE — the sharded EBF table written to parquet and
+    // reloaded is byte-identical and probes identically, which is what
+    // lets one build pass serve many later queries (Spark's own runtime
+    // bloom filter dies with its query)
+    "ebf_filter_persistence_check" -> { (s, dir) =>
+      Graft.ensure(s)
+      val d = docs(s, dir)
+      val table = graft.pipeline.ShardedProbe.buildShardTable(
+        d, col("doc_id").cast("string"), numShards = 8, m0 = 256)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_filter_store").toString
+      try {
+        table.write.mode("overwrite").parquet(tmp)
+        val reloaded = s.read.parquet(tmp)
+        val ident = table.as("a").join(reloaded.as("b"), "shard")
+          .agg(bool_and(col("a.sk") === col("b.sk")).as("eq"), count(lit(1)).as("n")).head
+        val keys = d.select(col("doc_id"), col("doc_id").cast("string").as("key"))
+        def hits(t: DataFrame): Long = graft.pipeline.ShardedProbe
+          .probe(keys, "key", t, numShards = 8)
+          .agg(sum(when(col("hit"), 1L).otherwise(0L))).head.getLong(0)
+        val total = d.count()
+        val hitsReloaded = hits(reloaded)
+        s.range(1).select(
+          lit(ident.getBoolean(0)).as("shards_byte_identical_after_roundtrip"),
+          lit(ident.getLong(1) == 8L).as("all_shards_present"),
+          lit(hitsReloaded == total).as("reloaded_filter_no_false_negatives"))
+      } finally {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(new java.io.File(tmp))
+      }
+    },
+
     // O33: Structured Streaming build == batch build, byte-for-byte.
     // The documents table is re-laid-out as 4 files and streamed one
     // file per micro-batch (AvailableNow -> deterministic, nothing
@@ -237,5 +271,8 @@ object PipelineQueries {
     "stream_vs_batch_sketch_equivalence" ->
       ("SELECT lang, TRUE AS ebf_equal, TRUE AS hll_equal, TRUE AS cms_equal " +
         "FROM (SELECT DISTINCT lang FROM documents) ORDER BY lang"),
+    "ebf_filter_persistence_check" ->
+      ("SELECT TRUE AS shards_byte_identical_after_roundtrip, " +
+        "TRUE AS all_shards_present, TRUE AS reloaded_filter_no_false_negatives"),
   )
 }
