@@ -72,7 +72,8 @@ object Bench {
       // vs 45.8s at mult=1 — within trial noise, so the default stays 1
       // (the reduce tail is not what limits 8->32 scaling here)
       .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
-        (cpus * sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_MULT", "1").toInt).toString)
+        (cpus * sys.env.get("SPARK_GRAFT_SHUFFLE_MULT")
+          .flatMap(v => v.trim.toIntOption).filter(_ >= 1).getOrElse(1)).toString)
       .config("spark.driver.memory", sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()

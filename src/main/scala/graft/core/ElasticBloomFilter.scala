@@ -432,7 +432,6 @@ final class Ebf(
       require(mode == 0.toByte, s"bad EBF wire mode $mode")
       while (b < m) { counts(b) = Ebf.readVarInt(in); total += counts(b); b += 1 }
     }
-    b = 0
     pairs = new Array[Long](math.max(64, total))
     numPairs = total
     val w = l0 - level
@@ -464,7 +463,9 @@ final class Ebf(
 }
 
 object Ebf {
-  val MAGIC: Int = 0x45424631 // "EBF1"
+  val MAGIC: Int = 0x45424632 // "EBF2" — v2 wire format (mode byte +
+  // optional sparse counts section); v1 bytes fail the magic check
+  // loudly instead of being misparsed
 
   // Defaults: ~10 buckets/key at threshold (alpha = 1/8), k = 5
   // => bound FPR (1 - e^(-5/8))^5 ~= 2.2e-2 worst-case right at the

@@ -127,7 +127,9 @@ final class Hll(var p: Int, var seed: Long) extends BytesSerde {
 }
 
 object Hll {
-  val MAGIC: Int = 0x484c4c31 // "HLL1"
+  val MAGIC: Int = 0x484c4c32 // "HLL2" — v2 wire format (mode byte +
+  // optional sparse register list); v1 bytes fail the magic check
+  // loudly instead of being misparsed
   val DefaultP = 12
   val DefaultSeed = 42L
 

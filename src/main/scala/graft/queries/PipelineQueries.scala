@@ -67,35 +67,31 @@ object PipelineQueries {
       Graft.ensure(s)
       val d = docs(s, dir)
       val base = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
-      // run 1: killed after 2 of 5 chunks
-      val killed = CheckpointRunner.run(s, d, col("doc_id"), 5, Seq("lang"), specs,
-        base, stopAfter = 2)
-      require(killed == null, "expected early stop")
-      val manifestAfterKill = CheckpointRunner.readManifest(base).size
-      // run 2: resume to completion (verifies lineage of done chunks)
-      val resumed = CheckpointRunner.run(s, d, col("doc_id"), 5, Seq("lang"), specs, base)
-      val single = SaltedAgg.plainAgg(d, Seq("lang"), specs)
-      val joined = resumed.as("r").join(single.as("x"), "lang")
-        .select(col("lang"),
-          (col("r.ebf") === col("x.ebf")).as("ebf_equal"),
-          (col("r.hll") === col("x.hll")).as("hll_equal"),
-          (col("r.cms") === col("x.cms")).as("cms_equal"))
-      val allEqual = joined.agg(
-        bool_and(col("ebf_equal")), bool_and(col("hll_equal")), bool_and(col("cms_equal")), count(lit(1))).head
-      val langs = single.count()
-      // everything above is materialized; drop the checkpoint staging
-      // (chunk parquet + manifest) instead of leaking it per run
-      locally {
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-        }
-        rm(new java.io.File(base))
-      }
-      s.range(1).select(
-        lit(manifestAfterKill == 2).as("killed_after_two_chunks"),
-        lit(allEqual.getBoolean(0) && allEqual.getBoolean(1) && allEqual.getBoolean(2))
-          .as("resumed_equals_single_shot"),
-        lit(allEqual.getLong(3) == langs).as("all_groups_present"))
+      try {
+        // run 1: killed after 2 of 5 chunks
+        val killed = CheckpointRunner.run(s, d, col("doc_id"), 5, Seq("lang"), specs,
+          base, stopAfter = 2)
+        require(killed == null, "expected early stop")
+        val manifestAfterKill = CheckpointRunner.readManifest(base).size
+        // run 2: resume to completion (verifies lineage of done chunks)
+        val resumed = CheckpointRunner.run(s, d, col("doc_id"), 5, Seq("lang"), specs, base)
+        val single = SaltedAgg.plainAgg(d, Seq("lang"), specs)
+        val joined = resumed.as("r").join(single.as("x"), "lang")
+          .select(col("lang"),
+            (col("r.ebf") === col("x.ebf")).as("ebf_equal"),
+            (col("r.hll") === col("x.hll")).as("hll_equal"),
+            (col("r.cms") === col("x.cms")).as("cms_equal"))
+        val allEqual = joined.agg(
+          bool_and(col("ebf_equal")), bool_and(col("hll_equal")), bool_and(col("cms_equal")), count(lit(1))).head
+        val langs = single.count()
+        s.range(1).select(
+          lit(manifestAfterKill == 2).as("killed_after_two_chunks"),
+          lit(allEqual.getBoolean(0) && allEqual.getBoolean(1) && allEqual.getBoolean(2))
+            .as("resumed_equals_single_shot"),
+          lit(allEqual.getLong(3) == langs).as("all_groups_present"))
+      } finally graft.util.GraftFiles.deleteRecursively(base)
+      // (everything the returned frame carries is materialized literals,
+      // so dropping the checkpoint staging before returning is safe)
     },
 
     // O31: the EBF-pruned join must equal the plain join EXACTLY (the
@@ -155,8 +151,11 @@ object PipelineQueries {
     "ebf_filter_persistence_check" -> { (s, dir) =>
       Graft.ensure(s)
       val d = docs(s, dir)
+      // cache: the build is materialized once by the write and reused by
+      // the identity join (8 small rows — without the cache the lazy
+      // frame would re-run the whole build for the comparison)
       val table = graft.pipeline.ShardedProbe.buildShardTable(
-        d, col("doc_id").cast("string"), numShards = 8, m0 = 256)
+        d, col("doc_id").cast("string"), numShards = 8, m0 = 256).cache()
       val tmp = java.nio.file.Files.createTempDirectory("graft_filter_store").toString
       try {
         table.write.mode("overwrite").parquet(tmp)
@@ -174,10 +173,8 @@ object PipelineQueries {
           lit(ident.getLong(1) == 8L).as("all_shards_present"),
           lit(hitsReloaded == total).as("reloaded_filter_no_false_negatives"))
       } finally {
-        def rm(f: java.io.File): Unit = {
-          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-        }
-        rm(new java.io.File(tmp))
+        table.unpersist()
+        graft.util.GraftFiles.deleteRecursively(tmp)
       }
     },
 
@@ -219,9 +216,7 @@ object PipelineQueries {
             .orderBy("lang").collect().toSeq
         } finally {
           s.catalog.dropTempView(qname)
-          val dir = new java.io.File(tmp)
-          Option(dir.listFiles()).foreach(_.foreach(_.delete()))
-          dir.delete()
+          graft.util.GraftFiles.deleteRecursively(tmp)
         }
       import s.implicits._
       rows.map(r => (r.getString(0), r.getBoolean(1), r.getBoolean(2), r.getBoolean(3)))

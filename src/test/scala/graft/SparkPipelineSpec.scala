@@ -94,12 +94,7 @@ class SparkPipelineSpec extends AnyFunSuite {
     assert(math.abs(est - 707.1) / 707.1 < 0.05, s"weighted median est $est")
   }
 
-  private def rmrf(path: String): Unit = {
-    def rm(f: java.io.File): Unit = {
-      Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
-    }
-    rm(new java.io.File(path))
-  }
+  private def rmrf(path: String): Unit = graft.util.GraftFiles.deleteRecursively(path)
 
   test("checkpoint kill + resume equals single-shot build") {
     val dir = java.nio.file.Files.createTempDirectory("graft_test_ckpt").toString
