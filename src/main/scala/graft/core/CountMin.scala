@@ -129,16 +129,55 @@ final class Cms(var depth: Int, var width: Int, var seed: Long) extends BytesSer
   def eps: Double = math.E / width
   def delta: Double = math.exp(-depth.toDouble)
 
+  // Wire format v2: dense fixed 8-byte cells, or a sparse
+  // (nnz, index-delta/count varints) list when byte-cheaper — chosen by
+  // exact byte cost, a pure function of table content, so equal tables
+  // serialize identically under any merge ordering. The win case is
+  // categorical counting (cms_agg over a low-cardinality column):
+  // ~n_keys*depth occupied cells out of depth*width, e.g. a 10-source
+  // CMS ships ~600 B instead of 229 KB through the merge exchange.
+  // Token-counting CMS tables are near-full and stay dense.
   def toBytes: Array[Byte] = {
-    val buf = ByteBuffer.allocate(4 + 4 + 4 + 8 + 8 + 8 * table.length)
+    var nnz = 0
+    var sparseCost = 0
+    var prev = -1
+    var i = 0
+    while (i < table.length) {
+      val c = table(i)
+      if (c != 0L) {
+        nnz += 1
+        sparseCost += Cms.varintLen(i - prev - 1) + Cms.varintLen(c)
+        prev = i
+      }
+      i += 1
+    }
+    sparseCost += Cms.varintLen(nnz.toLong)
+    val dense = 8 * table.length
+    val sparseMode = sparseCost < dense
+    val buf = ByteBuffer.allocate(4 + 4 + 4 + 8 + 8 + 1 + (if (sparseMode) sparseCost else dense))
     buf.putInt(Cms.MAGIC)
     buf.putInt(depth)
     buf.putInt(width)
     buf.putLong(seed)
     buf.putLong(total)
-    var i = 0
-    while (i < table.length) { buf.putLong(table(i)); i += 1 }
-    buf.array()
+    buf.put(if (sparseMode) 1.toByte else 0.toByte)
+    if (sparseMode) {
+      Cms.writeVarint(buf, nnz.toLong)
+      prev = -1
+      i = 0
+      while (i < table.length) {
+        if (table(i) != 0L) {
+          Cms.writeVarint(buf, (i - prev - 1).toLong)
+          Cms.writeVarint(buf, table(i))
+          prev = i
+        }
+        i += 1
+      }
+    } else {
+      i = 0
+      while (i < table.length) { buf.putLong(table(i)); i += 1 }
+    }
+    java.util.Arrays.copyOf(buf.array(), buf.position())
   }
 
   private[core] def loadBytes(bytes: Array[Byte]): Unit = {
@@ -150,13 +189,52 @@ final class Cms(var depth: Int, var width: Int, var seed: Long) extends BytesSer
     seed = in.getLong()
     total = in.getLong()
     table = new Array[Long](depth * width)
-    var i = 0
-    while (i < table.length) { table(i) = in.getLong(); i += 1 }
+    val mode = in.get()
+    if (mode == 1.toByte) {
+      val nnz = Cms.readVarint(in)
+      var prev = -1
+      var e = 0L
+      while (e < nnz) {
+        val idx = prev + 1 + Cms.readVarint(in).toInt
+        table(idx) = Cms.readVarint(in)
+        prev = idx
+        e += 1
+      }
+    } else {
+      require(mode == 0.toByte, s"bad CMS wire mode $mode")
+      var i = 0
+      while (i < table.length) { table(i) = in.getLong(); i += 1 }
+    }
   }
 }
 
 object Cms {
-  val MAGIC: Int = 0x434d5331 // "CMS1"
+  val MAGIC: Int = 0x434d5332 // "CMS2" — v2 wire format (mode byte +
+  // optional sparse cell list); v1 bytes fail the magic check loudly
+  // instead of being misparsed
+
+  private[core] def varintLen(v0: Long): Int = {
+    var v = v0
+    var len = 1
+    while ((v & ~0x7fL) != 0L) { v >>>= 7; len += 1 }
+    len
+  }
+  private[core] def writeVarint(buf: ByteBuffer, v0: Long): Unit = {
+    var v = v0
+    while ((v & ~0x7fL) != 0L) { buf.put(((v & 0x7f) | 0x80).toByte); v >>>= 7 }
+    buf.put(v.toByte)
+  }
+  private[core] def readVarint(in: ByteBuffer): Long = {
+    var v = 0L
+    var shift = 0
+    var b = in.get()
+    while ((b & 0x80) != 0) {
+      v |= (b & 0x7fL) << shift
+      shift += 7
+      b = in.get()
+    }
+    v | ((b & 0x7fL) << shift)
+  }
   val DefaultDepth = 7        // delta ~= 9.1e-4
   val DefaultWidth = 4096     // eps ~= 6.6e-4
   val DefaultSeed = 42L

@@ -46,6 +46,47 @@ class WireFormatPropertySpec extends AnyFunSuite {
     })
   }
 
+  test("CMS: round-trip + split-merge byte canonicality; categorical tables go sparse") {
+    val gen = for {
+      depth <- Gen.chooseNum(2, 8)
+      widthExp <- Gen.chooseNum(8, 13)
+      nKeys <- Gen.chooseNum(0, 400)
+      reps <- Gen.chooseNum(1, 20)
+      seed <- Gen.chooseNum(1L, 1000000L)
+      cut <- Gen.chooseNum(0, 100)
+    } yield (depth, 1 << widthExp, nKeys, reps, seed, cut)
+    check("cms-wire", Prop.forAll(gen) { case (depth, width, nKeys, reps, seed, cut) =>
+      val direct = Cms.empty(depth, width, seed)
+      val a = Cms.empty(depth, width, seed)
+      val b = Cms.empty(depth, width, seed)
+      var i = 0
+      while (i < nKeys) {
+        val key = s"k$seed-$i"
+        val count = 1L + (i % reps)
+        direct.add(key, count)
+        (if (i % 100 < cut) a else b).add(key, count)
+        i += 1
+      }
+      val bytes = direct.toBytes
+      val back = Cms.fromBytes(bytes)
+      assert(java.util.Arrays.equals(bytes, back.toBytes), "round-trip")
+      assert(back.total == direct.total)
+      val merged = Cms.fromBytes(a.toBytes).merge(Cms.fromBytes(b.toBytes))
+      assert(java.util.Arrays.equals(bytes, merged.toBytes), "split-merge canonical")
+      var j = 0
+      while (j < nKeys) {
+        assert(back.estimate(s"k$seed-$j") == direct.estimate(s"k$seed-$j"))
+        j += 1
+      }
+      true
+    })
+    // the categorical win case: 10 distinct keys at default params must
+    // ship a few hundred bytes, not the 229 KB dense table
+    val cat = Cms.empty()
+    (1 to 10).foreach(i => cat.add(s"source$i", 1000L))
+    assert(cat.toBytes.length < 2000, s"categorical CMS wire is ${cat.toBytes.length}B")
+  }
+
   test("EBF: round-trip + split-merge byte canonicality across sizes and params") {
     val gen = for {
       m0exp <- Gen.chooseNum(5, 11) // m0 in 32..2048
