@@ -331,7 +331,9 @@ final class FreqSketch(var capacity: Int,
 }
 
 object FreqSketch {
-  val MAGIC: Int = 0x46515331 // "FQS1"
+  val MAGIC: Int = 0x46515332 // "FQS2" — v2 wire format (8-byte seed
+  // field between capacity and n); v1 bytes fail the magic check loudly
+  // instead of being misparsed (seed read from old n, size from garbage)
   val DefaultCapacity = 256
   private[core] val HashSeed = 0x4d47534bL // "MGSK"
 

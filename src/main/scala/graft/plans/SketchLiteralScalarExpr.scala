@@ -107,6 +107,21 @@ case class SketchLiteralScalarExpr(child: Expression, sketchBytes: Array[Byte],
   override def nullable: Boolean = kind.argType == DoubleType && child.nullable
   override def prettyName: String = s"${kind.fnName}_literal"
 
+  // Case-class equality on Array[Byte] is reference-based, which would
+  // make two semantically identical literal-sketch expressions compare
+  // unequal and defeat plan canonicalization / common-subexpression
+  // dedup. Content equality (same pattern as RangeBucketExpr) — only a
+  // false NEGATIVE equality could exist without it, so results were
+  // never wrong, just plans less shared.
+  override def equals(other: Any): Boolean = other match {
+    case SketchLiteralScalarExpr(c, bs, k) =>
+      c == child && k == kind && java.util.Arrays.equals(bs, sketchBytes)
+    case _ => false
+  }
+  override def hashCode(): Int =
+    31 * (31 * child.hashCode() + kind.hashCode()) +
+      java.util.Arrays.hashCode(sketchBytes)
+
   @transient private lazy val sk: AnyRef = kind.deserialize(sketchBytes)
 
   /** Called from both interpreted eval and generated code. */

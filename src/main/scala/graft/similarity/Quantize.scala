@@ -43,19 +43,28 @@ object Quantize {
             .cast("byte")))
   }
 
-  /** Integer dot product of two int8 code arrays (cast up to int per
-    * element; the sum fits a long for any realistic dim). */
+  /** Integer dot product of two int8 code arrays (the sum fits a long
+    * for any realistic dim) — the native codegen'd
+    * [[graft.plans.Int8DotExpr]]: fused loop over the two byte arrays,
+    * zero per-pair allocation. The previous
+    * `aggregate(zip_with(a, b, ...))` form materialized the zipped
+    * intermediate array per candidate PAIR — measured 17.0 s on
+    * `ann_int8_recall` at sf0.1 (5M pairs), the slowest query in the
+    * round-3 sweep; the native form's null semantics are identical
+    * (spec-asserted element-for-element in Int8VecExprSpec). */
   def dotInt8(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("int") * y.cast("int")),
-      lit(0L), (acc, p) => acc + p.cast("long"))
+    graft.plans.Int8DotExpr.column(a, b)
+
+  /** Squared code norm — native, one pass, no intermediate array. */
+  def sqNormInt8(a: Column): Column = graft.plans.Int8SqNormExpr.column(a)
 
   /** Approximate cosine from int8 codes: dot / (|a| * |b|) over the
-    * integer codes — the per-vector scales cancel. */
-  def cosineInt8(a: Column, b: Column): Column = {
-    val na = aggregate(a, lit(0L), (acc, x) => acc + x.cast("int") * x.cast("int"))
-    val nb = aggregate(b, lit(0L), (acc, x) => acc + x.cast("int") * x.cast("int"))
-    dotInt8(a, b).cast("double") / (sqrt(na.cast("double")) * sqrt(nb.cast("double")))
-  }
+    * integer codes — the per-vector scales cancel. Re-derives both
+    * norms per call: fine for per-row use; the top-k path precomputes
+    * norms per vector instead (see [[bruteForceTopKInt8]]). */
+  def cosineInt8(a: Column, b: Column): Column =
+    dotInt8(a, b).cast("double") /
+      (sqrt(sqNormInt8(a).cast("double")) * sqrt(sqNormInt8(b).cast("double")))
 
   /** Brute-force top-k neighbors over the int8 codes — delegates to
     * [[Ann.bruteForceTopK]]'s plan shape (broadcast queries, map-only
@@ -67,11 +76,9 @@ object Quantize {
     * triple it). */
   def bruteForceTopKInt8(corpus: DataFrame, queries: DataFrame, idCol: String,
                          qvecCol: String, k: Int): DataFrame = {
-    def sqNorm(c: Column): Column =
-      aggregate(c, lit(0L), (acc, x) => acc + x.cast("int") * x.cast("int"))
     def withNorm(df: DataFrame): DataFrame = df.select(col(idCol),
       struct(col(qvecCol).as("q"),
-        sqrt(sqNorm(col(qvecCol)).cast("double")).as("n")).as("__qn"))
+        sqrt(sqNormInt8(col(qvecCol)).cast("double")).as("n")).as("__qn"))
     val score = (a: Column, b: Column) =>
       dotInt8(a.getField("q"), b.getField("q")).cast("double") /
         (a.getField("n") * b.getField("n"))
