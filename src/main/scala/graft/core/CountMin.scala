@@ -36,6 +36,17 @@ final class Cms(var depth: Int, var width: Int, var seed: Long) extends BytesSer
     total += count
   }
 
+  /** Single-row count bump from an already-derived row hash
+    * (`h.derived(row + 1)`) — the row-major batched kernel's inner
+    * step (see BatchedTokenBuf): the caller iterates rows in the OUTER
+    * loop so each pass touches only one width-sized row slice, and
+    * adds the batch size to `total` itself after all rows. Equivalent
+    * to `addHash` per element by commutativity of addition. */
+  @inline def bumpRow(row: Int, hr: Long): Unit = {
+    val m = (hr % width).toInt
+    table(row * width + (if (m < 0) m + width else m)) += 1L
+  }
+
   def add(key: String, count: Long = 1L): Unit = addHash(Hash128.hashString(key, seed), count)
   def add(key: Long, count: Long): Unit = addHash(Hash128.hashLong(key, seed), count)
 

@@ -33,6 +33,12 @@ object Graft {
         spark.experimental.extraOptimizations =
           spark.experimental.extraOptimizations :+ graft.plans.ReplaceLiteralEbfProbe
       }
+      // opt-in EBF semi-join reduction (fires only when
+      // spark.graft.joinPrune.enabled=true; see EbfJoinPruneRule)
+      if (!spark.experimental.extraOptimizations.contains(graft.plans.EbfJoinPruneRule)) {
+        spark.experimental.extraOptimizations =
+          spark.experimental.extraOptimizations :+ graft.plans.EbfJoinPruneRule
+      }
       // native codegen'd SQL expressions (the UDF registry can't host
       // Expression builders; goes through the sessionState shim)
       val natives = Seq(
@@ -211,17 +217,31 @@ object SketchCache {
     }
   }
 
+  // reference fast path: when the SAME byte-array instance recurs row
+  // after row (a scalar-subquery constant, a broadcast value, a literal
+  // evaluated once per batch) the per-row content verification is pure
+  // overhead — `eq` proves identity without reading a single byte. One
+  // entry per thread suffices: the pattern this serves is a run of rows
+  // probing one sketch.
+  private val tlLast = new ThreadLocal[Entry]
+
   private def get[S <: AnyRef](bytes: Array[Byte], from: Array[Byte] => S): S = {
+    val last = tlLast.get()
+    if (last != null && (last.bytes eq bytes)) return last.value.asInstanceOf[S]
     val key = sampleKey(bytes)
     val m = tl.get()
     val e = m.get(key)
-    if (e != null && java.util.Arrays.equals(bytes, e.bytes)) e.value.asInstanceOf[S]
-    else {
+    if (e != null && java.util.Arrays.equals(bytes, e.bytes)) {
+      tlLast.set(e)
+      e.value.asInstanceOf[S]
+    } else {
       // 256: a 64-shard table probed alongside a handful of other
       // sketches must fit without evicting (eviction clears the map)
       if (m.size() > 256) m.clear()
       val v = from(bytes)
-      m.put(key, Entry(bytes, v))
+      val entry = Entry(bytes, v)
+      m.put(key, entry)
+      tlLast.set(entry)
       v.asInstanceOf[S]
     }
   }

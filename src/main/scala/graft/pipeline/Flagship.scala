@@ -78,6 +78,18 @@ object Flagship {
         merge(col(s"$n.ebf"), col(s"$n.hll"), col(s"$n.kll"), col(s"$n.td")))))
   }
 
+  /** The native (TypedImperativeAggregate) form of [[perHostHashSpecs]]
+    * — no per-row Tuple3/boxing converter crossing on the reduce side
+    * (see NativeTokenAggs scaladoc; byte-identical, spec-asserted). */
+  def perHostNativeSpecs: Seq[SaltedAgg.SketchSpec] = {
+    val merge = udaf(new SketchAggregators.PerHostMergeAgg)
+    Seq(SaltedAgg.SketchSpec("sk",
+      graft.plans.PerHostSketchesNativeAgg.column(col("__h1"), col("__h2"),
+        col("text_len"), 128, 5, 16, 1, 8, 10, 160, 50.0, Graft.SketchSeed), "",
+      mergeBuilder = Some(n =>
+        merge(col(s"$n.ebf"), col(s"$n.hll"), col(s"$n.kll"), col(s"$n.td")))))
+  }
+
   def perHostSpecsUnfused: Seq[SaltedAgg.SketchSpec] = {
     val ebf = udaf(new SketchAggregators.EbfAgg(128, 5, 16, 1, 8, Graft.SketchSeed))
     val hll = udaf(new SketchAggregators.HllAgg(10, Graft.SketchSeed))
@@ -88,6 +100,91 @@ object Flagship {
       SaltedAgg.SketchSpec("hll", hll(col("url")), "hll_merge_agg"),
       SaltedAgg.SketchSpec("kll", kll(col("text_len")), "kll_merge_agg"),
       SaltedAgg.SketchSpec("td", td(col("text_len")), "tdigest_merge_agg"))
+  }
+
+  /** Phase 1 body: per-(lang,host) sketches, salted two-stage; returns
+    * the group count with every sketch byte forced. The projection
+    * BEFORE the clustering exchange is as narrow as the semantics
+    * allow: lang + host + the 16-byte url hash pair + the 8-byte
+    * text_len — never the text, and (since round 3) not the url either
+    * (EBF/HLL consume Hash128.H directly, so hashing map-side is
+    * byte-identical and halves the shuffle; Hash128Expr scaladoc).
+    * Host extraction: the urls here are generator-shaped
+    * scheme://host/path, where substring_index == parse_url(HOST)
+    * (spec-asserted) at ~60% of its cost — parse_url stays the
+    * general-input form in the query suites. */
+  private[graft] def phase1(wp: DataFrame, numSalts: Int,
+                            native: Boolean = true): Long = {
+    val withHost = wp
+      .select(col("lang"),
+        graft.plans.Hash128Expr.h1(col("url"), Graft.SketchSeed).as("__h1"),
+        graft.plans.Hash128Expr.h2(col("url"), Graft.SketchSeed).as("__h2"),
+        length(col("text")).cast("double").as("text_len"),
+        substring_index(substring_index(col("url"), "/", 3), "/", -1).as("host"))
+    // adaptive: only Zipf-head hosts get salted; the tail's stage-2
+    // merge is a single-row pass-through (see SaltedAgg scaladoc).
+    // Forced via sum(length(sketch)): a bare count() lets Catalyst
+    // PRUNE the unused aggregate expressions and time only the
+    // group-by skeleton (measured: "0.2s" for a phase that really
+    // costs seconds — always materialize what you benchmark).
+    val agged = SaltedAgg.adaptiveSketchAgg(withHost, Seq("lang", "host"), col("__h1"),
+      numSalts, if (native) perHostNativeSpecs else perHostHashSpecs,
+      hotRowThreshold = 1000L)
+    val sizeSum = Seq("sk.ebf", "sk.hll", "sk.kll", "sk.td")
+      .map(f => length(col(f)).cast("long")).reduce(_ + _)
+    agged.agg(count(lit(1)), sum(sizeSum)).head.getLong(0)
+  }
+
+  /** Phase 2 body: per-lang CMS + Misra-Gries over text tokens in ONE
+    * fused aggregation — tokenized INSIDE the aggregator (no exploded
+    * token relation), CMS for point queries, MG so the heavy hitters
+    * can be ENUMERATED (a sketch that answers "how often is X" can't
+    * list the X's). The top-20 extraction rides the same collect; the
+    * per-lang result is a handful of rows. */
+  // batchTokens 512: the row-major batched CMS kernel measured equal or
+  // slightly better (2-3%) at both parallelism levels in 5 of 6 paired
+  // trials (PLAN13) and bounds the hot working set per flush to one
+  // 128 KB CMS row slice; byte-identical at any batch size (spec)
+  private[graft] def phase2(wp: DataFrame, native: Boolean = true,
+                            batchTokens: Int = 512): (Long, Map[String, Seq[String]]) = {
+    val tokCol =
+      if (native)
+        graft.plans.CmsTopkTokensNativeAgg.column(col("text"), 5, 16384, 256,
+          Graft.SketchSeed, batchTokens)
+      else {
+        val u = udaf(new SketchAggregators.CmsTopkTokensAgg(5, 16384, 256, Graft.SketchSeed))
+        u(col("text"))
+      }
+    val perLang = wp.select(col("lang"), col("text"))
+      .groupBy("lang")
+      .agg(tokCol.as("tok"))
+      // lengths force every sketch byte; topk_items forces + extracts
+      // the heavy hitters (a bare count() would let Catalyst prune
+      // the aggregate itself out of the timing)
+      .select(col("lang"), length(col("tok.cms")).as("cms_len"),
+        length(col("tok.topk")).as("topk_len"),
+        expr("topk_items(tok.topk, 20)").as("top"))
+      .collect()
+    val tops = perLang.map { r =>
+      r.getString(0) -> r.getSeq[org.apache.spark.sql.Row](3).map(_.getString(0)).toSeq
+    }.toMap
+    (perLang.length.toLong, tops)
+  }
+
+  /** Phase 3 body: the sharded global EBF build, materialized
+    * (cached + every sketch byte forced). Caller unpersists. */
+  private[graft] def phase3(wp: DataFrame, numShards: Int,
+                            clusterFirst: Boolean = true,
+                            nativeAgg: Boolean = true): DataFrame = {
+    // clusterFirst: repartition-by-shard makes the partial aggregate
+    // the final build (see ShardedProbe.buildShardTable scaladoc and
+    // the PLAN13 A/B in BENCH/PLANS.md)
+    val table = ShardedProbe.buildShardTable(wp, col("url"), numShards,
+      clusterFirst = clusterFirst, nativeAgg = nativeAgg).cache()
+    // force materialization of every sketch byte (a bare count() lets
+    // Catalyst prune the aggregate itself)
+    table.agg(count(lit(1)), sum(length(col("sk")))).head.getLong(0)
+    table
   }
 
   /** @param nProbes held-out non-member urls for the phase-4 FPR probe;
@@ -102,59 +199,9 @@ object Flagship {
     val wp = spark.read.parquet(tablePath)
     val rows = wp.count()
 
-    // phase 1: per-(lang,host) sketches, salted two-stage. The
-    // projection BEFORE the clustering exchange is as narrow as the
-    // semantics allow: lang + host + the 16-byte url hash pair + the
-    // 8-byte text_len — never the text, and (since round 3) not the url
-    // either (EBF/HLL consume Hash128.H directly, so hashing map-side
-    // is byte-identical and halves the shuffle; Hash128Expr scaladoc).
-    // Host extraction: the urls here are generator-shaped
-    // scheme://host/path, where substring_index == parse_url(HOST)
-    // (spec-asserted) at ~60% of its cost — parse_url stays the
-    // general-input form in the query suites.
-    val withHost = wp
-      .select(col("lang"),
-        graft.plans.Hash128Expr.h1(col("url"), Graft.SketchSeed).as("__h1"),
-        graft.plans.Hash128Expr.h2(col("url"), Graft.SketchSeed).as("__h2"),
-        length(col("text")).cast("double").as("text_len"),
-        substring_index(substring_index(col("url"), "/", 3), "/", -1).as("host"))
-    val (hostGroups, t1) = time {
-      // adaptive: only Zipf-head hosts get salted; the tail's stage-2
-      // merge is a single-row pass-through (see SaltedAgg scaladoc).
-      // Forced via sum(length(sketch)): a bare count() lets Catalyst
-      // PRUNE the unused aggregate expressions and time only the
-      // group-by skeleton (measured: "0.2s" for a phase that really
-      // costs seconds — always materialize what you benchmark).
-      val agged = SaltedAgg.adaptiveSketchAgg(withHost, Seq("lang", "host"), col("__h1"),
-        numSalts, perHostHashSpecs, hotRowThreshold = 1000L)
-      val sizeSum = Seq("sk.ebf", "sk.hll", "sk.kll", "sk.td")
-        .map(f => length(col(f)).cast("long")).reduce(_ + _)
-      agged.agg(count(lit(1)), sum(sizeSum)).head.getLong(0)
-    }
+    val (hostGroups, t1) = time(phase1(wp, numSalts))
 
-    // phase 2: per-lang CMS + Misra-Gries over text tokens in ONE
-    // fused aggregation — tokenized INSIDE the aggregator (no exploded
-    // token relation), CMS for point queries, MG so the heavy hitters
-    // can be ENUMERATED (a sketch that answers "how often is X" can't
-    // list the X's). The top-20 extraction rides the same collect; the
-    // per-lang result is a handful of rows.
-    val tokAgg = udaf(new SketchAggregators.CmsTopkTokensAgg(5, 16384, 256, Graft.SketchSeed))
-    val ((langGroups, topTokens), t2) = time {
-      val perLang = wp.select(col("lang"), col("text"))
-        .groupBy("lang")
-        .agg(tokAgg(col("text")).as("tok"))
-        // lengths force every sketch byte; topk_items forces + extracts
-        // the heavy hitters (a bare count() would let Catalyst prune
-        // the aggregate itself out of the timing)
-        .select(col("lang"), length(col("tok.cms")).as("cms_len"),
-          length(col("tok.topk")).as("topk_len"),
-          expr("topk_items(tok.topk, 20)").as("top"))
-        .collect()
-      val tops = perLang.map { r =>
-        r.getString(0) -> r.getSeq[org.apache.spark.sql.Row](3).map(_.getString(0)).toSeq
-      }.toMap
-      (perLang.length.toLong, tops)
-    }
+    val ((langGroups, topTokens), t2) = time(phase2(wp))
 
     // phase 3: SHARDED global EBF over all urls — a parallel
     // groupBy(shard) with no single-reducer merge tail (see ShardedEbf:
@@ -163,18 +210,15 @@ object Flagship {
     // the cluster; nothing is collected to the driver in this phase —
     // deployment-side movement belongs to the probe (phase 4), exactly
     // as a broadcast join charges its build-side collect to the join.
-    val numShards = 64
-    val (shardTable, t3) = time {
-      // clusterFirst: repartition-by-shard makes the partial aggregate
-      // the final build (measured ~1.6x at 32M: 8.4s vs 13-16s — the
-      // partial form re-merges one sketch per scan-task x shard)
-      val table = ShardedProbe.buildShardTable(wp, col("url"), numShards,
-        clusterFirst = true).cache()
-      // force materialization of every sketch byte (a bare count() lets
-      // Catalyst prune the aggregate itself)
-      table.agg(count(lit(1)), sum(length(col("sk")))).head.getLong(0)
-      table
-    }
+    // 256 shards (was 64): the reduce side of the shard build is
+    // numShards tasks — 64 gave local[32] two badly packed waves while
+    // local[8] packed its eight perfectly, which alone cost ~2x in the
+    // phase's 8->32 scaling (ScalingProbe stage decomposition, PLAN13).
+    // 256 gives every level >= 8 waves; per-shard filters are a quarter
+    // the size at identical total bytes and the same per-shard FPR
+    // bound. At 10^12 rows the shard count scales with the data anyway.
+    val numShards = 256
+    val (shardTable, t3) = time(phase3(wp, numShards))
 
     // phase 4: FPR probe of held-out non-member urls + member sweep,
     // through the codegen'd native expression over broadcast shards

@@ -102,10 +102,26 @@ object SaltedAgg {
                         specs: Seq[SketchSpec], hotRowThreshold: Long,
                         sampleFraction: Double = 0.01): DataFrame = {
     require(specs.nonEmpty)
-    val hot = df.sample(withReplacement = false, sampleFraction, seed = 42L)
-      .groupBy(keys.map(col): _*).count()
+    val spark = df.sparkSession
+    // The hot set is MATERIALIZED once to the driver (it is the Zipf
+    // head — small by definition) and re-enters the plan as a local
+    // relation: the sampling job runs exactly once even though the hot
+    // set is consulted three times below (salting join, stage-2 split),
+    // and the coalesce collapses the sample's ~per-32MB-split task
+    // count — 662 four-millisecond tasks measured as a stage whose
+    // WALL TIME grew with core count on scheduling overhead alone
+    // (PLAN13 phase-1 decomposition).
+    val keyCols = keys.map(col)
+    val hotRows = df.sample(withReplacement = false, sampleFraction, seed = 42L)
+      .coalesce(math.max(2, spark.sparkContext.defaultParallelism))
+      .groupBy(keyCols: _*).count()
       .filter(col("count") >= math.max(1.0, hotRowThreshold * sampleFraction))
-      .select(keys.map(col): _*)
+      .select(keyCols: _*)
+      .collect()
+    val keySchema = org.apache.spark.sql.types.StructType(
+      keys.map(k => df.schema(df.schema.fieldIndex(k))))
+    import scala.jdk.CollectionConverters._
+    val hot = spark.createDataFrame(hotRows.toSeq.asJava, keySchema)
       .withColumn("__hot", lit(true))
     val salted = df
       .join(broadcast(hot), keys, "left")
@@ -125,9 +141,16 @@ object SaltedAgg {
       .repartition(clusterParts(df), (keys :+ "__salt").map(col): _*)
       .groupBy((keys :+ "__salt").map(col): _*)
       .agg(s1Aggs.head, s1Aggs.tail: _*)
+    // Stage 2 merges ALL groups through one exchange of the stage-1
+    // sketch rows. A hot/tail split (merge only the salted groups,
+    // pass tail rows through) was A/B'd in round 4 and REGRESSED ~10%
+    // at both parallelism levels: the two branches consume stage1
+    // twice, and Spark's ReuseExchange dedupes only the exchange — the
+    // stage-1 ObjectHashAggregate recomputes per branch, which costs
+    // more than the ~96%-smaller stage-2 exchange saves (PLAN13).
     val s2Aggs = specs.map(sp => mergeCol(sp).as(sp.name))
     stage1
-      .groupBy(keys.map(col): _*)
+      .groupBy(keyCols: _*)
       .agg(s2Aggs.head, s2Aggs.tail: _*)
   }
 }

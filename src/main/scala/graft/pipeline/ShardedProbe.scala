@@ -31,13 +31,13 @@ object ShardedProbe {
     * (scanTasks x numShards partials); measured in BENCH/BASELINE.md. */
   def buildShardTable(df: DataFrame, keyCol: Column, numShards: Int,
                       m0: Int = 4096, k: Int = 5, l0: Int = 16,
-                      clusterFirst: Boolean = false): DataFrame = {
+                      clusterFirst: Boolean = false,
+                      nativeAgg: Boolean = true): DataFrame = {
     Graft.ensure(df.sparkSession)
     // "shuffle hashes, not strings": the key is consumed only as its
     // Hash128 (Ebf.insertHash), so hash BEFORE the shard exchange and
     // ship 16 bytes per row instead of the raw key — byte-identical
     // sketches (spec-asserted), roughly half the clusterFirst shuffle
-    val agg = udaf(new SketchAggregators.EbfHashAgg(m0, k, l0, 1, 8, Graft.SketchSeed))
     val keyed = df.select(keyCol.as("__key"))
       // null keys are skipped by the aggregator anyway; dropping them
       // here avoids emitting a useless null-shard row
@@ -47,9 +47,22 @@ object ShardedProbe {
         graft.plans.Hash128Expr.h2(col("__key"), Graft.SketchSeed).as("__h2"))
     val clustered =
       if (clusterFirst) keyed.repartition(numShards, col("shard")) else keyed
+    // nativeAgg: the TypedImperativeAggregate form reads the two hash
+    // longs straight off the InternalRow — no per-row Tuple2/boxed-Long
+    // converter allocation (measured ~1.8 us/row on the ScalaAggregator
+    // path, PLAN13); byte-identical output (spec-asserted), kept
+    // switchable for the A/B and as the reference implementation
+    val aggCol =
+      if (nativeAgg)
+        graft.plans.EbfHashBuildAgg.column(col("__h1"), col("__h2"),
+          m0, k, l0, 1, 8, Graft.SketchSeed)
+      else {
+        val u = udaf(new SketchAggregators.EbfHashAgg(m0, k, l0, 1, 8, Graft.SketchSeed))
+        u(col("__h1"), col("__h2"))
+      }
     clustered
       .groupBy("shard")
-      .agg(agg(col("__h1"), col("__h2")).as("sk"))
+      .agg(aggCol.as("sk"))
   }
 
   /** Deploy a shard table for probing: collect it once into a

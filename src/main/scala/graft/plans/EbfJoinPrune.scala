@@ -1,0 +1,231 @@
+package graft.plans
+
+import graft.core.Ebf
+import graft.functions.{Graft, SketchCache}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Alias, BinaryExpression, Cast, EqualTo, Expression, PredicateHelper, ScalarSubquery}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, TypedImperativeAggregate}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftSemi}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Filter, Join, LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.trees.TreeNodeTag
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native catalyst EBF aggregate — `TypedImperativeAggregate[Ebf]`, the
+  * same contract Spark's own `BloomFilterAggregate` implements. Unlike
+  * the `udaf()`-wrapped `EbfAgg` (a ScalaAggregator needing
+  * analyzer-time encoder resolution), this expression is fully
+  * self-contained, so an OPTIMIZER rule can inject it into a plan after
+  * analysis — which is exactly what [[EbfJoinPruneRule]] does. Buffers
+  * serialize through the EBF wire format (no Kryo); output bytes are
+  * identical to `ebf_agg` over the same rows (same seed, same insert
+  * hash — spec-asserted).
+  *
+  * The elastic filter is what makes one un-sized code path safe here:
+  * Spark's runtime bloom filter must guess NDV from (often stale) stats
+  * at plan time; this filter EXPANDS to the observed keys at a bounded
+  * FPR, so a 10^3-key and a 10^8-key build side get the same plan.
+  */
+case class EbfBuildAggExpr(child: Expression,
+                           mutableAggBufferOffset: Int = 0,
+                           inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Ebf] with UnaryLike[Expression] {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a string key, got ${child.dataType.simpleString}")
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def prettyName: String = "ebf_build_agg"
+
+  override def createAggregationBuffer(): Ebf =
+    Ebf.empty(seed = Graft.SketchSeed)
+
+  override def update(buffer: Ebf, input: InternalRow): Ebf = {
+    val v = child.eval(input)
+    if (v != null) buffer.insert(v.asInstanceOf[UTF8String].getBytes)
+    buffer
+  }
+
+  override def merge(buffer: Ebf, other: Ebf): Ebf = buffer.merge(other)
+  override def eval(buffer: Ebf): Any = buffer.toBytes
+  override def serialize(buffer: Ebf): Array[Byte] = buffer.toBytes
+  override def deserialize(storageFormat: Array[Byte]): Ebf = Ebf.fromBytes(storageFormat)
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): EbfBuildAggExpr =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): EbfBuildAggExpr =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): EbfBuildAggExpr =
+    copy(child = newChild)
+}
+
+/** Membership probe where the sketch side is an arbitrary expression —
+  * in [[EbfJoinPruneRule]]'s rewrite it is a [[ScalarSubquery]] whose
+  * value is computed once per query, so every row of a task sees the
+  * SAME byte-array instance and the probe hits [[SketchCache]]'s
+  * reference fast path (zero per-row memcmp; the cache is per-thread,
+  * so concurrent tasks in one executor cannot race). Null sketch or
+  * null key probes false (a null join key can never equi-match).
+  */
+case class EbfProbeExpr(left: Expression, right: Expression) extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (BinaryType, StringType) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires (binary sketch, string key), got " +
+          s"${l.simpleString(10)} and ${r.simpleString(10)}")
+    }
+
+  override def dataType: DataType = BooleanType
+  override def nullable: Boolean = false
+  override def prettyName: String = "ebf_probe"
+
+  /** Called from both interpreted eval and generated code. */
+  def probe(sk: Array[Byte], key: UTF8String): Boolean =
+    sk != null && key != null && SketchCache.ebf(sk).mightContain(key.getBytes)
+
+  override def eval(input: InternalRow): Any =
+    probe(left.eval(input).asInstanceOf[Array[Byte]],
+      right.eval(input).asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("ebfProbeExpr", this, classOf[EbfProbeExpr].getName)
+    val l = left.genCode(ctx)
+    val r = right.genCode(ctx)
+    ev.copy(
+      code = code"""
+        ${l.code}
+        ${r.code}
+        boolean ${ev.value} = $self.probe(
+          ${l.isNull} ? null : ${l.value}, ${r.isNull} ? null : ${r.value});
+      """,
+      isNull = FalseLiteral)
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): EbfProbeExpr =
+    copy(left = newLeft, right = newRight)
+}
+
+/** O36 — the library-call semi-join reduction (`JoinPrune.ebfPrunedJoin`,
+  * O31) as an OPT-IN optimizer rule: existing SQL / DataFrame joins get
+  * map-side EBF pruning with no query rewrite.
+  *
+  * For a qualifying equi-join it rewrites
+  *
+  *   Join(fact, build, type, factKey = buildKey)
+  *     -> Join(Filter(ebf_probe(scalar-subquery(ebf_build_agg(buildKey)
+  *             over build), factKey), fact), build, ...)
+  *
+  * the same shape Spark's own `InjectRuntimeFilter` emits with its
+  * fixed-size bloom filter. The fact-side exchange then carries only
+  * rows that MIGHT match; the EBF's no-false-negative guarantee makes
+  * the result exactly the plain join's (a false positive reaches the
+  * join and is dropped there as before).
+  *
+  * Fires only when ALL of:
+  *  - `spark.graft.joinPrune.enabled` = true (default FALSE — opt-in);
+  *  - join type Inner (either side prunable) or LeftSemi (left side);
+  *  - an `EqualTo` conjunct with one side per input, both deterministic,
+  *    key type non-floating atomic (float/double excluded: the probe
+  *    compares canonical string renderings, and -0.0/0.0 or NaN
+  *    normalization could disagree with join-key normalization —
+  *    refuse rather than risk dropping a matching row, the same
+  *    defensive posture as `JoinPrune.ebfPrunedJoin`'s type guard);
+  *  - build side stats <= `spark.graft.joinPrune.maxBuildBytes`
+  *    (default 256 MB) and fact side >= build *
+  *    `spark.graft.joinPrune.minSizeRatio` (default 2.0) — pruning a
+  *    side smaller than the filter build cannot pay for itself;
+  *  - neither side is streaming, and the join was not already rewritten
+  *    (tree-node tag; the rule runs in a fixed-point batch).
+  */
+object EbfJoinPruneRule extends Rule[LogicalPlan] with PredicateHelper {
+
+  private val appliedTag = TreeNodeTag[Boolean]("graft.ebfJoinPrune.applied")
+
+  /** Key types whose canonical string rendering agrees with equi-join
+    * equality (see scaladoc: floats excluded on purpose). */
+  private def prunableKeyType(t: DataType): Boolean = t match {
+    case StringType | ByteType | ShortType | IntegerType | LongType |
+         BooleanType | DateType | TimestampType | TimestampNTZType | BinaryType => true
+    case _: DecimalType => true
+    case _ => false
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = {
+    if (conf.getConfString("spark.graft.joinPrune.enabled", "false") != "true") return plan
+    val maxBuild = BigInt(
+      conf.getConfString("spark.graft.joinPrune.maxBuildBytes", (256L << 20).toString))
+    val ratio = conf.getConfString("spark.graft.joinPrune.minSizeRatio", "2.0").toDouble
+
+    plan.transformUp {
+      case j @ Join(left, right, jt, Some(cond), _)
+          if (jt == Inner || jt == LeftSemi) && j.getTagValue(appliedTag).isEmpty &&
+            !left.isStreaming && !right.isStreaming =>
+        // first equi-conjunct with one side per input; one key pair is
+        // enough (the filter is conservative — extra conjuncts and keys
+        // only make the join itself drop more)
+        val equi = splitConjunctivePredicates(cond).collectFirst {
+          case EqualTo(l, r)
+              if l.references.nonEmpty && l.references.subsetOf(left.outputSet) &&
+                r.references.subsetOf(right.outputSet) &&
+                l.deterministic && r.deterministic && prunableKeyType(l.dataType) =>
+            (l, r)
+          case EqualTo(l, r)
+              if r.references.nonEmpty && r.references.subsetOf(left.outputSet) &&
+                l.references.subsetOf(right.outputSet) &&
+                l.deterministic && r.deterministic && prunableKeyType(l.dataType) =>
+            (r, l) // (leftSideKey, rightSideKey)
+        }
+        equi match {
+          case None => j
+          case Some((lk, rk)) =>
+            val lBytes = left.stats.sizeInBytes
+            val rBytes = right.stats.sizeInBytes
+            def worthIt(factBytes: BigInt, buildBytes: BigInt): Boolean =
+              buildBytes <= maxBuild &&
+                BigDecimal(factBytes) >= BigDecimal(buildBytes) * ratio
+            if ((jt == Inner || jt == LeftSemi) && worthIt(lBytes, rBytes)) {
+              val out = j.copy(left = prunedSide(left, lk, right, rk))
+              out.setTagValue(appliedTag, true)
+              out
+            } else if (jt == Inner && worthIt(rBytes, lBytes)) {
+              val out = j.copy(right = prunedSide(right, rk, left, lk))
+              out.setTagValue(appliedTag, true)
+              out
+            } else j
+        }
+    }
+  }
+
+  private def asString(e: Expression): Expression =
+    if (e.dataType == StringType) e
+    else Cast(e, StringType, Some(conf.sessionLocalTimeZone))
+
+  /** `Filter(ebf_probe(subquery(ebf_build_agg(buildKey)), factKey), fact)`.
+    * The subquery aggregates the build side down to ONE sketch row
+    * (partial aggregation map-side — no build row ever moves
+    * unaggregated), evaluated once per query like any scalar subquery,
+    * then the probe is a map-only, codegen'd fact-side filter. */
+  private def prunedSide(fact: LogicalPlan, factKey: Expression,
+                         build: LogicalPlan, buildKey: Expression): LogicalPlan = {
+    val agg = Alias(
+      AggregateExpression(EbfBuildAggExpr(asString(buildKey)), Complete, isDistinct = false),
+      "graft_prune_ebf")()
+    // manual column pruning: this rule runs in the last (user) batch,
+    // AFTER the pruning rules — without the Project the subquery would
+    // re-scan every build column
+    val buildProj = Project(buildKey.references.toSeq, build)
+    val subq = ScalarSubquery(Aggregate(Nil, Seq(agg), buildProj))
+    Filter(EbfProbeExpr(subq, asString(factKey)), fact)
+  }
+}

@@ -154,6 +154,7 @@ object ReplaceLiteralEbfProbe extends Rule[LogicalPlan] {
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => ReplaceLiteralEbfProbe)
+    ext.injectOptimizerRule(_ => EbfJoinPruneRule)
     ext.injectFunction(Hash128Expr.sqlDescriptor("graft_hash128_h1", 0))
     ext.injectFunction(Hash128Expr.sqlDescriptor("graft_hash128_h2", 1))
     ext.injectFunction(GraftShardExpr.sqlDescriptor)

@@ -143,6 +143,51 @@ object PipelineQueries {
         lit(disjointOrdered).as("ranges_disjoint_ordered"))
     },
 
+    // O32 end-to-end: the "reproducible sorted file layout" claim.
+    // byKll places bucket i EXACTLY in partition i, so byKll +
+    // sortWithinPartitions + write yields files whose [min,max] key
+    // ranges are strictly disjoint and whose rows are sorted within
+    // each file — concatenating files in range order IS the globally
+    // sorted dataset (the sorted Iceberg/parquet layout precondition).
+    // The per-file sortedness read-back collects one small file at a
+    // time (bounded by the partition count; each file is single-split
+    // at gate scale, so read order is file order).
+    "kll_sorted_layout_check" -> { (s, dir) =>
+      Graft.ensure(s)
+      val d = docs(s, dir)
+        .select(col("doc_id"), length(col("text")).cast("double").as("key"))
+        .filter(col("key").isNotNull)
+      val nIn = d.count()
+      val kll = Kll.fromBytes(
+        d.agg(call_udf("kll_agg", col("key")).as("sk")).head.getAs[Array[Byte]](0))
+      val numParts = 8
+      val tmp = java.nio.file.Files.createTempDirectory("graft_sorted_layout").toString
+      try {
+        RangePartition.byKll(d, col("key"), kll, numParts)
+          .sortWithinPartitions("key")
+          .write.mode("overwrite").parquet(tmp)
+        val files = s.read.parquet(tmp)
+          .groupBy(input_file_name().as("f"))
+          .agg(count(lit(1)).as("cnt"), min(col("key")).as("mn"), max(col("key")).as("mx"))
+          .collect().sortBy(_.getAs[Double]("mn"))
+        val total = files.map(_.getAs[Long]("cnt")).sum
+        // strict <: a key value present in two files would make the
+        // previous file's max equal the next file's min
+        val disjoint = files.sliding(2).forall(w =>
+          w.length < 2 || w(0).getAs[Double]("mx") < w(1).getAs[Double]("mn"))
+        val sortedWithin = files.forall { r =>
+          val ks = s.read.parquet(r.getAs[String]("f")).select("key")
+            .collect().map(_.getDouble(0))
+          ks.sameElements(ks.sorted)
+        }
+        s.range(1).select(
+          lit(total == nIn).as("rows_conserved"),
+          lit(files.length > 1).as("multiple_files"),
+          lit(disjoint).as("file_ranges_disjoint"),
+          lit(sortedWithin).as("files_sorted_within"))
+      } finally graft.util.GraftFiles.deleteRecursively(tmp)
+    },
+
     // The persistence claim behind O31 and the sharded probe: a built filter is a
     // first-class VALUE — the sharded EBF table written to parquet and
     // reloaded is byte-identical and probes identically, which is what
@@ -263,6 +308,9 @@ object PipelineQueries {
       ("SELECT COUNT(*) AS n_rows, TRUE AS all_partitions_nonempty, " +
         "TRUE AS balanced_within_sketch_bound, TRUE AS ranges_disjoint_ordered " +
         "FROM lineitem"),
+    "kll_sorted_layout_check" ->
+      ("SELECT TRUE AS rows_conserved, TRUE AS multiple_files, " +
+        "TRUE AS file_ranges_disjoint, TRUE AS files_sorted_within"),
     "stream_vs_batch_sketch_equivalence" ->
       ("SELECT lang, TRUE AS ebf_equal, TRUE AS hll_equal, TRUE AS cms_equal " +
         "FROM (SELECT DISTINCT lang FROM documents) ORDER BY lang"),

@@ -52,6 +52,32 @@ object WebPagesQueries {
         .orderBy("lang")
     },
 
+    // the flagship dump's own oracle companion: each field of
+    // wp_flagship_by_lang checked against an exact Spark-computed
+    // reference in the same aggregation — HLL host NDV within the
+    // published 3-sigma bound, the EBF's insert count equal to the
+    // document count (urls are unique per row), and the t-digest p99
+    // at or above the KLL median (cross-sketch ordering sanity)
+    "wp_flagship_by_lang_check" -> { (s, _) =>
+      Graft.ensure(s)
+      withHost(webpages(s))
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(col("host")).as("host_ndv_exact"),
+          expr("hll_estimate(hll_agg(host))").as("host_ndv_est"),
+          expr("ebf_info(ebf_agg(url))").as("ebf"),
+          expr("kll_quantile(kll_agg(cast(length(text) as double)), 0.5D)").as("median_text_len"),
+          expr("tdigest_quantile(tdigest_agg(cast(length(text) as double)), 0.99D)").as("p99_text_len"))
+        .select(col("lang"),
+          (abs(col("host_ndv_est") - col("host_ndv_exact")) <=
+            lit(3.0 * 1.04 / math.sqrt(4096.0)) * col("host_ndv_exact") + lit(3.0))
+            .as("host_ndv_in_bound"),
+          (col("ebf.n") === col("n_docs")).as("ebf_n_eq_docs"),
+          (col("p99_text_len") >= col("median_text_len")).as("p99_ge_median"))
+        .orderBy("lang")
+    },
+
     "wp_salted_host_equivalence" -> { (s, _) =>
       Graft.ensure(s)
       val wp = withHost(webpages(s)).select("host", "url")
@@ -149,6 +175,12 @@ object WebPagesQueries {
   val oracleSql: Map[String, String] = Map(
     "wp_salted_host_equivalence" ->
       "SELECT TRUE AS salted_equals_plain, TRUE AS has_hosts",
+    // the generator's lang set is fixed (WebPagesGen.Langs); the oracle
+    // pins one all-TRUE row per lang so a missing/extra lang also fails
+    "wp_flagship_by_lang_check" ->
+      ("SELECT lang, TRUE AS host_ndv_in_bound, TRUE AS ebf_n_eq_docs, " +
+        "TRUE AS p99_ge_median FROM (VALUES ('de'),('en'),('es'),('fr'),('zh')) " +
+        "AS t(lang) ORDER BY lang"),
     "wp_extract_identity" ->
       "SELECT TRUE AS all_identical, TRUE AS row_count_matches",
     "wp_host_skew_check" ->

@@ -12,7 +12,17 @@ import org.scalatest.funsuite.AnyFunSuite
   */
 class MergeLawsSpec extends AnyFunSuite {
 
+  // Fixed seed: this suite is a CI GATE, and two of the properties
+  // assert PROBABILISTIC rank-error bounds (KLL 3-sigma, t-digest
+  // 0.06) — a random seed makes the gate flaky by construction, and a
+  // rare failing case once sent scalacheck's Stream shrinker into a
+  // 20+-minute minimization of a 2000-element list mid-suite. A seed
+  // sweep (tools/KllTdProbe, 1500 seeds) measured worst margins of
+  // 0.008/0.040 (KLL) and 0.019/0.060 (t-digest), so the properties
+  // are sound; the fixed seed + NoShrink below make the gate
+  // deterministic and fast-failing.
   private val params = SCTest.Parameters.default.withMinSuccessfulTests(40)
+    .withInitialSeed(org.scalacheck.rng.Seed(20260817L))
 
   private def check(name: String, prop: Prop): Unit = {
     val res = SCTest.check(params, prop)
@@ -28,7 +38,7 @@ class MergeLawsSpec extends AnyFunSuite {
   } yield (ks, assign)
 
   test("EBF merge is associative and split-invariant (byte-identical)") {
-    check("ebf", Prop.forAll(splitGen) { case (ks, assign) =>
+    check("ebf", Prop.forAllNoShrink(splitGen) { case (ks, assign) =>
       def mk() = Ebf.empty(m0 = 32, k = 3, l0 = 12)
       val parts = Array(mk(), mk(), mk())
       ks.zip(assign).foreach { case (k, p) => parts(p).insert(k) }
@@ -43,7 +53,7 @@ class MergeLawsSpec extends AnyFunSuite {
   }
 
   test("HLL and CMS merges are associative and split-invariant (byte-identical)") {
-    check("hll+cms", Prop.forAll(splitGen) { case (ks, assign) =>
+    check("hll+cms", Prop.forAllNoShrink(splitGen) { case (ks, assign) =>
       val hp = Array.fill(3)(Hll.empty(p = 8))
       val cp = Array.fill(3)(Cms.empty(depth = 3, width = 64))
       ks.zip(assign).foreach { case (k, p) => hp(p).add(k); cp(p).add(k) }
@@ -62,7 +72,7 @@ class MergeLawsSpec extends AnyFunSuite {
       vs <- Gen.listOfN(n, Gen.chooseNum(-1e6, 1e6))
       assign <- Gen.listOfN(n, Gen.chooseNum(0, 2))
     } yield (vs, assign)
-    check("kll+td", Prop.forAll(valsGen) { case (vs, assign) =>
+    check("kll+td", Prop.forAllNoShrink(valsGen) { case (vs, assign) =>
       val kp = Array.fill(3)(Kll.empty(200))
       val tp = Array.fill(3)(TDigest.empty(100))
       vs.zip(assign).foreach { case (v, p) => kp(p).add(v); tp(p).add(v) }
@@ -86,7 +96,7 @@ class MergeLawsSpec extends AnyFunSuite {
   }
 
   test("empty sketch is a merge identity for every type") {
-    check("identity", Prop.forAll(keysGen) { ks =>
+    check("identity", Prop.forAllNoShrink(keysGen) { ks =>
       val e = Ebf.empty(m0 = 32, k = 3, l0 = 12); ks.foreach(e.insert)
       val h = Hll.empty(p = 8); ks.foreach(h.add)
       val c = Cms.empty(depth = 3, width = 64); ks.foreach(c.add(_))

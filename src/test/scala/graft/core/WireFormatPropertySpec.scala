@@ -14,6 +14,7 @@ import org.scalatest.funsuite.AnyFunSuite
 class WireFormatPropertySpec extends AnyFunSuite {
 
   private val params = SCTest.Parameters.default.withMinSuccessfulTests(30)
+    .withInitialSeed(org.scalacheck.rng.Seed(20260817L)) // deterministic CI gate
   private def check(name: String, prop: Prop): Unit = {
     val res = SCTest.check(params, prop)
     assert(res.passed, s"$name: ${res.status}")
