@@ -64,7 +64,9 @@ object Bench {
       // into ~21 scan tasks, starving 32 cores. At 100TB the default is
       // fine (splits >> cores); here split smaller so scan parallelism
       // matches the core count.
-      .config("spark.sql.files.maxPartitionBytes", (32 * 1024 * 1024).toString)
+      .config("spark.sql.files.maxPartitionBytes",
+        (sys.env.get("SPARK_GRAFT_MAX_PART_MB").flatMap(_.trim.toIntOption)
+          .getOrElse(32) * 1024 * 1024).toString)
       // A/B knob: start AQE from finer-grained shuffle partitions (it
       // can only coalesce, never split) so reduce-side stragglers don't
       // idle cores at the stage tail; 1 = plain cpus partitions.
@@ -75,6 +77,13 @@ object Bench {
         (cpus * sys.env.get("SPARK_GRAFT_SHUFFLE_MULT")
           .flatMap(v => v.trim.toIntOption).filter(_ >= 1).getOrElse(1)).toString)
       .config("spark.driver.memory", sys.env.getOrElse("SPARK_DRIVER_MEM", "8g"))
+      // A/B knob: shuffle/broadcast compression codec. zstd writes
+      // ~30% smaller shuffle blocks than lz4 for these hash-heavy rows
+      // at more decode CPU — trading shared DRAM bandwidth (the
+      // non-scaling resource on one box) for compute (which scales
+      // with cores); measured in PLAN15
+      .config("spark.io.compression.codec",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_CODEC", "lz4"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")

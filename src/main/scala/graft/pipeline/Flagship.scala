@@ -113,14 +113,17 @@ object Flagship {
     * scheme://host/path, where substring_index == parse_url(HOST)
     * (spec-asserted) at ~60% of its cost — parse_url stays the
     * general-input form in the query suites. */
+  /** The phase-1 pre-exchange projection (see [[phase1]] scaladoc). */
+  private def hostProjection(df: DataFrame): DataFrame = df
+    .select(col("lang"),
+      graft.plans.Hash128Expr.h1(col("url"), Graft.SketchSeed).as("__h1"),
+      graft.plans.Hash128Expr.h2(col("url"), Graft.SketchSeed).as("__h2"),
+      length(col("text")).cast("double").as("text_len"),
+      substring_index(substring_index(col("url"), "/", 3), "/", -1).as("host"))
+
   private[graft] def phase1(wp: DataFrame, numSalts: Int,
                             native: Boolean = true): Long = {
-    val withHost = wp
-      .select(col("lang"),
-        graft.plans.Hash128Expr.h1(col("url"), Graft.SketchSeed).as("__h1"),
-        graft.plans.Hash128Expr.h2(col("url"), Graft.SketchSeed).as("__h2"),
-        length(col("text")).cast("double").as("text_len"),
-        substring_index(substring_index(col("url"), "/", 3), "/", -1).as("host"))
+    val withHost = hostProjection(wp)
     // adaptive: only Zipf-head hosts get salted; the tail's stage-2
     // merge is a single-row pass-through (see SaltedAgg scaladoc).
     // Forced via sum(length(sketch)): a bare count() lets Catalyst
@@ -171,6 +174,42 @@ object Flagship {
     (perLang.length.toLong, tops)
   }
 
+  /** Phases 1 AND 2 over ONE text scan: the per-lang token sketches
+    * ride phase 1's scan as a side-channel metric
+    * (`Dataset.observe` / CollectMetrics with the map-buffer
+    * [[graft.plans.PerLangTokenSketchesAgg]] — global aggregates are
+    * all observe admits, which is exactly what the lang-keyed buffer
+    * provides). Separately the two phases each pay the full text scan
+    * — 13 GB of the shared socket's DRAM traffic paid twice per 32M
+    * rows (PLAN16 measures the fusion at both parallelism levels).
+    * Returns (hostGroups, langGroups, topTokens, combinedSec,
+    * extractSec). The hot-detection sample runs against an UNOBSERVED
+    * plan so the side channel completes with the main aggregation, not
+    * the sample. */
+  private[graft] def phase12Fused(wp: DataFrame, numSalts: Int, batchTokens: Int = 512):
+      (Long, Long, Map[String, Seq[String]], Double, Double) = {
+    val obs = org.apache.spark.sql.Observation()
+    val tokCol = graft.plans.PerLangTokenSketchesAgg.column(
+      col("lang"), col("text"), 5, 16384, 256, Graft.SketchSeed, batchTokens)
+    val t0 = System.nanoTime()
+    val withHost = hostProjection(wp.observe(obs, tokCol.as("tok")))
+    val agged = SaltedAgg.adaptiveSketchAgg(withHost, Seq("lang", "host"), col("__h1"),
+      numSalts, perHostNativeSpecs, hotRowThreshold = 1000L,
+      sampleSource = Some(hostProjection(wp)))
+    val sizeSum = Seq("sk.ebf", "sk.hll", "sk.kll", "sk.td")
+      .map(f => length(col(f)).cast("long")).reduce(_ + _)
+    val hostGroups = agged.agg(count(lit(1)), sum(sizeSum)).head.getLong(0)
+    val t1 = (System.nanoTime() - t0) / 1e9
+    val t2start = System.nanoTime()
+    val tokMap = obs.get("tok").asInstanceOf[scala.collection.Map[String, org.apache.spark.sql.Row]]
+    val tops = tokMap.map { case (lang, r) =>
+      lang -> graft.core.FreqSketch.fromBytes(r.getAs[Array[Byte]]("topk"))
+        .topK(20).map(_._1)
+    }.toMap
+    val t2 = (System.nanoTime() - t2start) / 1e9
+    (hostGroups, tokMap.size.toLong, tops, t1, t2)
+  }
+
   /** Phase 3 body: the sharded global EBF build, materialized
     * (cached + every sketch byte forced). Caller unpersists. */
   private[graft] def phase3(wp: DataFrame, numShards: Int,
@@ -194,14 +233,21 @@ object Flagship {
     *                thing measured and the FPR evidence rides the
     *                high-parallelism run. */
   def run(spark: SparkSession, tablePath: String, numSalts: Int = 32,
-          nProbes: Long = 1000000L): Result = {
+          nProbes: Long = 1000000L, fusedPhase12: Boolean = true): Result = {
     Graft.ensure(spark)
     val wp = spark.read.parquet(tablePath)
     val rows = wp.count()
 
-    val (hostGroups, t1) = time(phase1(wp, numSalts))
-
-    val ((langGroups, topTokens), t2) = time(phase2(wp))
+    // fused: phase 2 rides phase 1's text scan as a side-channel
+    // observation (one 13 GB scan instead of two — PLAN16); the
+    // separate form stays for the A/B and as the reference
+    val (hostGroups, langGroups, topTokens, t1, t2) =
+      if (fusedPhase12) phase12Fused(wp, numSalts)
+      else {
+        val (hg, t1s) = time(phase1(wp, numSalts))
+        val ((lg, tops), t2s) = time(phase2(wp))
+        (hg, lg, tops, t1s, t2s)
+      }
 
     // phase 3: SHARDED global EBF over all urls — a parallel
     // groupBy(shard) with no single-reducer merge tail (see ShardedEbf:

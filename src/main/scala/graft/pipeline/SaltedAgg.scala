@@ -98,11 +98,20 @@ object SaltedAgg {
     *                       "don't scan twice"); estimated count =
     *                       sampled count / sampleFraction
     */
+  /** @param sampleSource plan to run the hot-detection sample against
+    *                      (defaults to `df`). Callers whose `df` carries
+    *                      a side-channel observation (CollectMetrics)
+    *                      MUST pass an unobserved equivalent here: the
+    *                      sample's collect is an action, and it would
+    *                      otherwise complete the observation with the
+    *                      sample's partial row stream. */
   def adaptiveSketchAgg(df: DataFrame, keys: Seq[String], saltOn: Column, numSalts: Int,
                         specs: Seq[SketchSpec], hotRowThreshold: Long,
-                        sampleFraction: Double = 0.01): DataFrame = {
+                        sampleFraction: Double = 0.01,
+                        sampleSource: Option[DataFrame] = None): DataFrame = {
     require(specs.nonEmpty)
     val spark = df.sparkSession
+    val sampleDf = sampleSource.getOrElse(df)
     // The hot set is MATERIALIZED once to the driver (it is the Zipf
     // head — small by definition) and re-enters the plan as a local
     // relation: the sampling job runs exactly once even though the hot
@@ -112,7 +121,7 @@ object SaltedAgg {
     // WALL TIME grew with core count on scheduling overhead alone
     // (PLAN13 phase-1 decomposition).
     val keyCols = keys.map(col)
-    val hotRows = df.sample(withReplacement = false, sampleFraction, seed = 42L)
+    val hotRows = sampleDf.sample(withReplacement = false, sampleFraction, seed = 42L)
       .coalesce(math.max(2, spark.sparkContext.defaultParallelism))
       .groupBy(keyCols: _*).count()
       .filter(col("count") >= math.max(1.0, hotRowThreshold * sampleFraction))

@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Complete, TypedImperativeAggregate}
-import org.apache.spark.sql.catalyst.trees.{TernaryLike, UnaryLike}
+import org.apache.spark.sql.catalyst.trees.{BinaryLike, TernaryLike, UnaryLike}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.graftshim.ColumnBridge
 import org.apache.spark.sql.types._
@@ -270,5 +270,156 @@ object CmsTopkTokensNativeAgg {
     ColumnBridge.column(AggregateExpression(
       CmsTopkTokensNativeAgg(ColumnBridge.expression(text), depth, width, capacity,
         seed, batchTokens),
+      Complete, isDistinct = false))
+}
+
+/** Per-LANG token sketches in ONE un-grouped aggregate: the buffer is a
+  * small open map lang -> [[BatchedTokenBuf]], so the aggregation can
+  * run as a side-channel metric on a flowing dataset
+  * (`Dataset.observe` / CollectMetrics — which only admits global
+  * aggregates) while the main plan continues. This is what lets the
+  * flagship compute phase 2 DURING phase 1's scan instead of paying the
+  * 13 GB text scan twice (PLAN16). Output: map<lang,
+  * struct<cms binary, topk binary>>, entries emitted in lang order.
+  *
+  * Merge-order caveat (same as everywhere in the library): CMS bytes
+  * are identical under any merge order; Misra-Gries heavy hitters are
+  * guarantee-stable but not byte-stable, and the accumulator's
+  * task-completion merge order is nondeterministic — the fused-vs-
+  * grouped spec therefore compares CMS bytes exactly and MG at the
+  * heavy-hitter level.
+  */
+case class PerLangTokenSketchesAgg(left: Expression, right: Expression,
+                                   depth: Int, width: Int, capacity: Int, seed: Long,
+                                   batchTokens: Int = 0,
+                                   mutableAggBufferOffset: Int = 0,
+                                   inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[java.util.TreeMap[String, BatchedTokenBuf]]
+    with BinaryLike[Expression] {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == StringType && right.dataType == StringType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (lang string, text string), got " +
+        s"${left.dataType.simpleString}, ${right.dataType.simpleString}")
+
+  override def dataType: DataType =
+    MapType(StringType, NativeTokenAggs.tokenSketchesType, valueContainsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "per_lang_token_sketches_agg"
+
+  // TreeMap: deterministic lang-ordered iteration for serialize/eval
+  override def createAggregationBuffer(): java.util.TreeMap[String, BatchedTokenBuf] =
+    new java.util.TreeMap[String, BatchedTokenBuf]()
+
+  private def newBuf(): BatchedTokenBuf =
+    new BatchedTokenBuf(new TokenSketchBuf(
+      graft.core.Cms.empty(depth, width, seed),
+      graft.core.FreqSketch.empty(capacity, seed)), math.max(1, batchTokens))
+
+  override def update(m: java.util.TreeMap[String, BatchedTokenBuf],
+                      input: InternalRow): java.util.TreeMap[String, BatchedTokenBuf] = {
+    val l = left.eval(input)
+    if (l == null) return m
+    val v = right.eval(input)
+    if (v == null) return m
+    val lang = l.asInstanceOf[UTF8String].toString // tiny, interned-ish per lang
+    var b = m.get(lang)
+    if (b == null) { b = newBuf(); m.put(lang, b) }
+    val bytes = v.asInstanceOf[UTF8String].getBytes
+    val len = bytes.length
+    val batched = batchTokens > 0
+    var start = 0
+    var i = 0
+    while (i <= len) {
+      if (i == len || bytes(i) == ' ') {
+        if (i > start) {
+          val h = Hash128.hashBytesRange(bytes, start, i - start, seed)
+          if (batched) b.addToken(h) else b.buf.cms.addHash(h, 1L)
+          b.buf.topk.addRangeHashed(bytes, start, i - start, 1L, h.h1)
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    m
+  }
+
+  override def merge(a: java.util.TreeMap[String, BatchedTokenBuf],
+                     b: java.util.TreeMap[String, BatchedTokenBuf]): java.util.TreeMap[String, BatchedTokenBuf] = {
+    val it = b.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      val mine = a.get(e.getKey)
+      if (mine == null) a.put(e.getKey, e.getValue)
+      else {
+        mine.flush(); e.getValue.flush()
+        mine.buf.cms.merge(e.getValue.buf.cms)
+        mine.buf.topk.merge(e.getValue.buf.topk)
+      }
+    }
+    a
+  }
+
+  override def eval(m: java.util.TreeMap[String, BatchedTokenBuf]): Any = {
+    val n = m.size()
+    val keys = new Array[Any](n)
+    val vals = new Array[Any](n)
+    val it = m.entrySet().iterator()
+    var i = 0
+    while (it.hasNext) {
+      val e = it.next()
+      e.getValue.flush()
+      keys(i) = UTF8String.fromString(e.getKey)
+      vals(i) = InternalRow(e.getValue.buf.cms.toBytes, e.getValue.buf.topk.toBytes)
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayBasedMapData(keys, vals)
+  }
+
+  override def serialize(m: java.util.TreeMap[String, BatchedTokenBuf]): Array[Byte] = {
+    val entries = new scala.collection.mutable.ArrayBuffer[Array[Byte]]
+    val it = m.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      e.getValue.flush()
+      entries += e.getKey.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      entries += e.getValue.buf.cms.toBytes
+      entries += e.getValue.buf.topk.toBytes
+    }
+    NativeTokenAggs.writeChunks(entries.toArray)
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.TreeMap[String, BatchedTokenBuf] = {
+    val m = createAggregationBuffer()
+    val buf = java.nio.ByteBuffer.wrap(bytes)
+    while (buf.hasRemaining) {
+      def chunk(): Array[Byte] = {
+        val len = buf.getInt(); val c = new Array[Byte](len); buf.get(c); c
+      }
+      val lang = new String(chunk(), java.nio.charset.StandardCharsets.UTF_8)
+      val cms = graft.core.Cms.fromBytes(chunk())
+      val topk = graft.core.FreqSketch.fromBytes(chunk())
+      m.put(lang, new BatchedTokenBuf(new TokenSketchBuf(cms, topk), math.max(1, batchTokens)))
+    }
+    m
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): PerLangTokenSketchesAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): PerLangTokenSketchesAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newLeft: Expression,
+                                                 newRight: Expression): PerLangTokenSketchesAgg =
+    copy(left = newLeft, right = newRight)
+}
+
+object PerLangTokenSketchesAgg {
+  def column(lang: Column, text: Column, depth: Int, width: Int, capacity: Int,
+             seed: Long, batchTokens: Int = 0): Column =
+    ColumnBridge.column(AggregateExpression(
+      PerLangTokenSketchesAgg(ColumnBridge.expression(lang), ColumnBridge.expression(text),
+        depth, width, capacity, seed, batchTokens),
       Complete, isDistinct = false))
 }

@@ -29,7 +29,10 @@ object ScalingProbe {
 
   def main(args: Array[String]): Unit = {
     val benchRows = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROWS", "32000000").toLong
-    val benchPath = s"/root/repo/data/webpages/bench_$benchRows"
+    // SP_TABLE: probe an alternative copy of the bench table (e.g. a
+    // different parquet codec) without touching the canonical path
+    val benchPath = sys.env.getOrElse("SP_TABLE",
+      s"/root/repo/data/webpages/bench_$benchRows")
     val levels = sys.env.getOrElse("SP_CPUS", "8,32").split(",").map(_.trim.toInt).toSeq
     val trials = sys.env.getOrElse("SP_TRIALS", "2").toInt
     val variants = sys.env.getOrElse("SP_VARIANTS", "p1,p2,p3c,p3p").split(",").map(_.trim).toSeq
@@ -77,6 +80,7 @@ object ScalingProbe {
           t
         }
         val times = variants.map {
+          case "p12f" => "p12f" -> timed(Flagship.phase12Fused(wp, 32))
           case "p1" => "p1" -> timed(Flagship.phase1(wp, 32, native = false))
           case "p1n" => "p1n" -> timed(Flagship.phase1(wp, 32, native = true))
           case "p2" => "p2" -> timed(Flagship.phase2(wp, native = false))

@@ -96,6 +96,39 @@ class NativeSketchAggsSpec extends AnyFunSuite {
     }
   }
 
+  test("fused phase-1+2 (observe side channel) matches the grouped builds") {
+    // the side-channel token sketches must match the groupBy-built
+    // ones: CMS byte-identically (commutative adds), MG at the
+    // heavy-hitter level (merge-order guarantee); host groups equal
+    val (hostGroups, langGroups, tops, _, _) = Flagship.phase12Fused(wp, 8)
+    assert(hostGroups === Flagship.phase1(wp, 8))
+    val grouped = wp.groupBy("lang")
+      .agg(graft.plans.CmsTopkTokensNativeAgg.column(col("text"), 5, 16384, 256,
+        Graft.SketchSeed, 512).as("tok"))
+      .select(col("lang"), col("tok.cms"), col("tok.topk"))
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Array[Byte]](1), r.getAs[Array[Byte]](2))).toMap
+    assert(langGroups === grouped.size.toLong)
+    // re-run the fused side channel to get its cms bytes directly
+    val obs = org.apache.spark.sql.Observation()
+    wp.observe(obs, graft.plans.PerLangTokenSketchesAgg.column(
+        col("lang"), col("text"), 5, 16384, 256, Graft.SketchSeed, 512).as("tok"))
+      .write.format("noop").mode("overwrite").save()
+    val fusedMap = obs.get("tok")
+      .asInstanceOf[scala.collection.Map[String, org.apache.spark.sql.Row]]
+    assert(fusedMap.keySet === grouped.keySet)
+    fusedMap.foreach { case (lang, r) =>
+      assert(java.util.Arrays.equals(r.getAs[Array[Byte]]("cms"), grouped(lang)._1),
+        s"cms differs for $lang")
+      val fusedTop = graft.core.FreqSketch.fromBytes(r.getAs[Array[Byte]]("topk"))
+        .topK(10).map(_._1).toSet
+      val groupedTop = graft.core.FreqSketch.fromBytes(grouped(lang)._2)
+        .topK(10).map(_._1).toSet
+      assert(fusedTop === groupedTop, s"heavy hitters differ for $lang")
+    }
+    assert(tops.keySet === grouped.keySet)
+  }
+
   test("batched buffer flushes pending tokens on serialize") {
     val agg = graft.plans.CmsTopkTokensNativeAgg(
       org.apache.spark.sql.catalyst.expressions.Literal("a b c"),
