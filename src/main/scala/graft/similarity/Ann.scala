@@ -16,9 +16,20 @@ import org.apache.spark.sql.functions._
   */
 object Ann {
 
-  /** Codegen-friendly cosine similarity between two array<float/double>
-    * columns (computed in double, left-to-right accumulation). */
-  def cosine(a: Column, b: Column): Column = {
+  /** Cosine similarity between two array<float/double> columns
+    * (computed in double, left-to-right accumulation) — the native
+    * fused [[graft.plans.CosineSimExpr]]: one loop per pair, no zipped
+    * intermediate array, no array<double> cast materialization. This
+    * is the per-PAIR kernel of every rerank/near-dup path, where the
+    * composed higher-order form's allocations dominated (the int8
+    * lesson, round 4). */
+  def cosine(a: Column, b: Column): Column =
+    graft.plans.CosineSimExpr.column(a, b)
+
+  /** The retired higher-order composition, kept verbatim as the spec
+    * oracle the native kernel is asserted bit-identical against
+    * (VecProbeExprSpec). */
+  private[graft] def cosineHof(a: Column, b: Column): Column = {
     val ad = a.cast("array<double>")
     val bd = b.cast("array<double>")
     val dot = aggregate(zip_with(ad, bd, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
@@ -50,46 +61,29 @@ object Ann {
 
   /** Deterministic random-hyperplane components: plane p, dimension d
     * -> uniform in [-1, 1). */
-  private[similarity] def planeComponent(table: Int, bit: Int, dim: Int): Double = {
+  private[graft] def planeComponent(table: Int, bit: Int, dim: Int): Double = {
     val h = Hash128.hashLong((table.toLong << 40) | (bit.toLong << 20) | dim.toLong, 0xA11CE)
     (h.h1 >>> 11).toDouble / (1L << 52).toDouble - 1.0
   }
 
   /** Sign-LSH bucket ids for a vector: `numTables` independent tables,
-    * `numBits` hyperplane sign bits each.
+    * `numBits` hyperplane sign bits each — the native codegen'd
+    * [[graft.plans.LshBucketsExpr]].
     *
-    * Implemented as ONE scalar UDF over a closure-captured primitive
-    * plane matrix rather than composed Catalyst expressions: the
-    * expression form needs numTables*numBits*dim literals (6144 for
-    * 16x6x64), which bloats every task binary to multiple MB and blows
-    * past codegen method limits — measured 5-10x slower than this tight
-    * loop. The planes are deterministic, so results are unchanged. */
+    * The plane matrix rides as ONE codegen reference object, never as
+    * composed per-element literals (numTables*numBits*dim literal
+    * subtrees — 6144 for 16x6x64 — would blow past codegen method
+    * limits, which is why the first cut was a closure-captured UDF).
+    * The native form keeps the same tight loop but reads the
+    * `ArrayData` directly — no Seq[Double] boxing or copy per row.
+    * Planes are deterministic, so buckets are unchanged
+    * (spec-identical to the retired UDF logic, VecProbeExprSpec). */
   def lshBuckets(vecCol: Column, dim: Int, numTables: Int, numBits: Int): Column = {
-    val planes: Array[Array[Array[Double]]] = Array.tabulate(numTables, numBits) {
-      (t, b) => Array.tabulate(dim)(d => planeComponent(t, b, d))
+    val planes: Array[Array[Double]] = Array.tabulate(numTables * numBits) { tb =>
+      Array.tabulate(dim)(d => planeComponent(tb / numBits, tb % numBits, d))
     }
-    val bucketUdf = udf((v: Seq[Double]) => {
-      val arr = v.toArray
-      val out = new Array[Long](numTables)
-      var t = 0
-      while (t < numTables) {
-        var bucket = 0L
-        var b = 0
-        while (b < numBits) {
-          val p = planes(t)(b)
-          var dot = 0.0
-          var d = 0
-          val nd = math.min(p.length, arr.length)
-          while (d < nd) { dot += arr(d) * p(d); d += 1 }
-          if (dot >= 0) bucket |= 1L << b
-          b += 1
-        }
-        out(t) = bucket
-        t += 1
-      }
-      out
-    })
-    bucketUdf(vecCol.cast("array<double>"))
+    graft.plans.LshBucketsExpr.column(vecCol.cast("array<double>"), planes,
+      numTables, numBits, dim)
   }
 
   /** LSH-bucketed approximate top-k: candidates = pairs sharing a bucket

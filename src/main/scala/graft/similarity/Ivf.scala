@@ -54,19 +54,29 @@ object Ivf {
       // deterministic init: the numCells lowest-id training vectors
       val seed = train.orderBy(col("__id")).limit(numCells)
         .select(col("v")).collect().map(_.getSeq[Double](0).toArray)
+      val dim = seed.head.length
       var centroids = seed
       var it = 0
       while (it < iters) {
         val assigned = train.select(col("v"),
           assignCell(col("v"), centroids).as("cell"))
-        // element-wise mean via (cell, dim) narrow rows — no full-vector
-        // single-reducer aggregation at any scale
-        val means = assigned
-          .select(col("cell"), posexplode(col("v")).as(Seq("dim", "x")))
-          .groupBy("cell", "dim").agg(avg(col("x")).as("m"))
+        // element-wise mean via one [count | sums] array per cell
+        // (graft.plans.VecSumAgg): map-side partial combine reduces the
+        // per-iteration shuffle to numPartitions x numCells fixed-size
+        // arrays — the earlier posexplode -> groupBy(cell, dim) form
+        // amplified every training vector into `dim` shuffled rows.
+        // Float sum order differs from that form (both unspecified);
+        // centroid low-bit wiggle is within the boundary-sensitivity
+        // margin documented in the object scaladoc.
+        val sums = assigned.groupBy("cell")
+          .agg(graft.plans.VecSumAgg.column(col("v"), dim).as("cs"))
           .collect()
         val next = centroids.map(_.clone())
-        means.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+        sums.foreach { r =>
+          val cs = r.getSeq[Double](1)
+          val cnt = cs.head
+          if (cnt > 0) next(r.getInt(0)) = Array.tabulate(dim)(d => cs(d + 1) / cnt)
+        }
         centroids = next
         it += 1
       }
@@ -74,18 +84,23 @@ object Ivf {
     } finally train.unpersist(blocking = false)
   }
 
-  /** Map-only nearest-centroid assignment (closure-captured centroid
-    * matrix — same justification as Ann.lshBuckets: the expression form
-    * would need numCells x dim literals). Ties break to the lower cell
-    * id. Cosine distance on the raw vectors. */
-  def assignCell(vecCol: Column, centroids: Array[Array[Double]]): Column = {
-    val cellUdf = udf((v: Seq[Double]) => Ivf.nearestCells(v.toArray, centroids, 1).head)
-    cellUdf(vecCol.cast("array<double>"))
-  }
+  /** Map-only nearest-centroid assignment — the native codegen'd
+    * [[graft.plans.NearestCellExpr]]: fused loop over the raw
+    * `ArrayData`, zero per-row allocation or boxing (the previous
+    * `Seq[Double]` UDF paid 64 boxed Doubles + a copy per corpus row —
+    * the last UDF-where-an-expression-fits path in the repo; the
+    * centroid matrix rides as a codegen reference object, not
+    * numCells x dim literals). Ties break to the lower cell id. Cosine
+    * distance on the raw vectors; selection order spec-identical to
+    * [[nearestCells]] (VecProbeExprSpec). */
+  def assignCell(vecCol: Column, centroids: Array[Array[Double]]): Column =
+    graft.plans.NearestCellExpr.column(vecCol.cast("array<double>"), centroids)
 
-  /** The `nProbe` nearest cells for a vector, best first. */
-  private[similarity] def nearestCells(v: Array[Double], centroids: Array[Array[Double]],
-                                       nProbe: Int): Seq[Int] = {
+  /** The `nProbe` nearest cells for a vector, best first. Retired from
+    * the hot path (see [[assignCell]]) — kept as the executable
+    * reference the native kernels are spec-checked against. */
+  private[graft] def nearestCells(v: Array[Double], centroids: Array[Array[Double]],
+                                  nProbe: Int): Seq[Int] = {
     val scored = centroids.indices.map { c =>
       val cent = centroids(c)
       var dot = 0.0; var nv = 0.0; var nc = 0.0
@@ -102,13 +117,13 @@ object Ivf {
     * rerank on the candidates. */
   def search(corpus: DataFrame, queries: DataFrame, idCol: String, vecCol: String,
              centroids: Array[Array[Double]], k: Int, nProbe: Int): DataFrame = {
-    val probeUdf = udf((v: Seq[Double]) => nearestCells(v.toArray, centroids, nProbe))
     val corpusCells = corpus.select(col(idCol).as("neighbor_id"),
       col(vecCol).as("neighbor_vec"),
       assignCell(col(vecCol), centroids).as("cell"))
     val queryCells = queries.select(col(idCol).as("query_id"),
       col(vecCol).as("query_vec"),
-      explode(probeUdf(col(vecCol).cast("array<double>"))).as("cell"))
+      explode(graft.plans.NearestCellsExpr.column(
+        col(vecCol).cast("array<double>"), centroids, nProbe)).as("cell"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("neighbor_id").asc)
     queryCells.join(corpusCells, "cell")

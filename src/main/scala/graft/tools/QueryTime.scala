@@ -29,6 +29,10 @@ object QueryTime {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         println(f"[qt] $name trial $i: ${(System.nanoTime() - t0) / 1e9}%.2f s")
       }
+      // QT_SHOW=1: print the first rows (for eyeballing gate booleans)
+      if (sys.env.get("QT_SHOW").contains("1"))
+        fn(spark, sfDir).limit(20).collect()
+          .foreach(r => println(s"[qt] $name row: $r"))
     }
     spark.stop()
   }
