@@ -152,6 +152,28 @@ object EbfJoinPruneRule extends Rule[LogicalPlan] with PredicateHelper {
 
   private val appliedTag = TreeNodeTag[Boolean]("graft.ebfJoinPrune.applied")
 
+  /** Structural re-application guard backing up [[appliedTag]]: tags
+    * live on tree-node INSTANCES, so any later rule that rebuilds the
+    * Join via `copy()` silently drops them — in a fixed-point batch the
+    * rule would then re-fire each iteration, stacking duplicate probe
+    * filters (each with its own scalar-subquery EBF build). A side
+    * already wearing a Filter whose condition probes an EBF against
+    * this key (modulo the string cast the rewrite itself adds) is one
+    * we pruned. */
+  private def alreadyPruned(side: LogicalPlan, key: Expression): Boolean = {
+    def sameKey(k: Expression): Boolean = k.semanticEquals(key) || (k match {
+      case Cast(inner, StringType, _, _) => inner.semanticEquals(key)
+      case _ => false
+    })
+    side.exists {
+      case Filter(cond, _) => cond.exists {
+        case EbfProbeExpr(_, k) => sameKey(k)
+        case _ => false
+      }
+      case _ => false
+    }
+  }
+
   /** Key types whose canonical string rendering agrees with equi-join
     * equality (see scaladoc: floats excluded on purpose). */
   private def prunableKeyType(t: DataType): Boolean = t match {
@@ -194,11 +216,13 @@ object EbfJoinPruneRule extends Rule[LogicalPlan] with PredicateHelper {
             def worthIt(factBytes: BigInt, buildBytes: BigInt): Boolean =
               buildBytes <= maxBuild &&
                 BigDecimal(factBytes) >= BigDecimal(buildBytes) * ratio
-            if ((jt == Inner || jt == LeftSemi) && worthIt(lBytes, rBytes)) {
+            if ((jt == Inner || jt == LeftSemi) && worthIt(lBytes, rBytes) &&
+                !alreadyPruned(left, lk)) {
               val out = j.copy(left = prunedSide(left, lk, right, rk))
               out.setTagValue(appliedTag, true)
               out
-            } else if (jt == Inner && worthIt(rBytes, lBytes)) {
+            } else if (jt == Inner && worthIt(rBytes, lBytes) &&
+                !alreadyPruned(right, rk)) {
               val out = j.copy(right = prunedSide(right, rk, left, lk))
               out.setTagValue(appliedTag, true)
               out

@@ -109,6 +109,50 @@ object PipelineQueries {
         .orderBy("o_orderpriority")
     },
 
+    // O36 driver gate: the OPTIMIZER-RULE twin of ebf_join_prune. A
+    // PLAIN DataFrame fact-dimension join (lineitem x filtered
+    // supplier — the pruned-column size ratio is ~40x, comfortably
+    // past the rule's 2x cost guard at every SF) with
+    // spark.graft.joinPrune.enabled set must (a) get exactly ONE
+    // EbfProbeExpr filter injected by EbfJoinPruneRule (asserted on the
+    // optimized plan; "exactly one" also regression-guards the
+    // structural re-application check) and (b) produce exactly the
+    // plain join's rows — DuckDB computes the same join as the oracle.
+    // The result is materialized eagerly inside the conf-on window so
+    // the rows the driver hashes are the ones that actually flowed
+    // through the injected probe; the conf is restored afterwards (no
+    // session-global leak into the rest of the sweep).
+    "join_prune_rule_check" -> { (s, dir) =>
+      Graft.ensure(s)
+      val prev = s.conf.getOption("spark.graft.joinPrune.enabled")
+      s.conf.set("spark.graft.joinPrune.enabled", "true")
+      try {
+        val li = s.read.parquet(s"$dir/lineitem.parquet")
+        val sup = s.read.parquet(s"$dir/supplier.parquet")
+          .filter(col("s_nationkey") < 5)
+        val df = li.join(sup, li("l_suppkey") === sup("s_suppkey"))
+          .groupBy(col("s_nationkey"))
+          .agg(count(lit(1)).as("n_li"),
+            round(sum(col("l_extendedprice")), 2).as("revenue"))
+          .orderBy("s_nationkey")
+        val probes = df.queryExecution.optimizedPlan.collect {
+          case p => p.expressions.flatMap(_.collect {
+            case e: graft.plans.EbfProbeExpr => e
+          })
+        }.flatten.size
+        require(probes == 1,
+          s"join-prune rule: expected exactly 1 injected probe, found $probes")
+        val rows = df.collect()
+        import scala.jdk.CollectionConverters._
+        s.createDataFrame(rows.toSeq.asJava, df.schema)
+      } finally {
+        prev match {
+          case Some(v) => s.conf.set("spark.graft.joinPrune.enabled", v)
+          case None => s.conf.unset("spark.graft.joinPrune.enabled")
+        }
+      }
+    },
+
     // O32: KLL-driven balanced range repartitioning — exact placement
     // (partition id == range id), all ranges populated and disjoint,
     // sizes within the sketch's rank-error bound of ideal, and no row
@@ -304,6 +348,12 @@ object PipelineQueries {
         "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
         "WHERE o_orderpriority = '1-URGENT' " +
         "GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+    "join_prune_rule_check" ->
+      ("SELECT s_nationkey, COUNT(*) AS n_li, " +
+        "ROUND(SUM(l_extendedprice), 2) AS revenue " +
+        "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey " +
+        "WHERE s_nationkey < 5 " +
+        "GROUP BY s_nationkey ORDER BY s_nationkey"),
     "kll_range_partition_check" ->
       ("SELECT COUNT(*) AS n_rows, TRUE AS all_partitions_nonempty, " +
         "TRUE AS balanced_within_sketch_bound, TRUE AS ranges_disjoint_ordered " +

@@ -107,6 +107,24 @@ class EbfJoinPruneRuleSpec extends AnyFunSuite with BeforeAndAfterEach {
     assert(j.count() === plain.count())
   }
 
+  test("structural guard: tag loss via copy() does not stack duplicate probes") {
+    // TreeNodeTags live on node INSTANCES: a later rule rebuilding the
+    // Join via copy() drops the applied-tag, and in a fixed-point batch
+    // the rule would re-fire forever without the structural guard
+    // (a Filter carrying an EbfProbeExpr on the same key).
+    enable()
+    val j = fact.join(build, col("fk") === col("bk"))
+    val once = graft.plans.EbfJoinPruneRule(j.queryExecution.optimizedPlan)
+    assert(probeFilters(once) === 1)
+    // strip ALL tags (what a copy()-rebuilding rule effectively does),
+    // then re-apply: the structural guard must hold the line
+    val stripped = once.transformUp { case p => p.makeCopy(p.productIterator
+      .map(_.asInstanceOf[AnyRef]).toArray) }
+    val twice = graft.plans.EbfJoinPruneRule(stripped)
+    assert(probeFilters(twice) === 1,
+      s"rule re-fired after tag loss:\n$twice")
+  }
+
   test("EbfBuildAggExpr output is byte-identical to ebf_agg") {
     import org.apache.spark.sql.graftshim.ColumnBridge
     val keys = spark.range(2000).select(concat(lit("k"), col("id")).as("k"))
