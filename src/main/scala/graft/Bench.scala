@@ -153,16 +153,57 @@ object Bench {
     val benchPath = s"/root/repo/data/webpages/bench_$benchRows"
 
     val warmupPath = "/root/repo/data/webpages/test"
+    // Bench-scale warmup table (r5): the 50K warmup JIT-compiles the
+    // code paths but does not reach C2 tiering on the hot kernels or
+    // touch the bench table's page cache — r4's confined local[8]
+    // perHost trials declined monotonically 210.6 -> 91.5 -> 74.2 s
+    // across the driver window, i.e. the first pairs measured warmup
+    // residue, not engine scaling. 2M rows (~1/16 of the bench table)
+    // runs the warmup in a few seconds per level while pushing the hot
+    // loops well past JIT tiering thresholds.
+    val warmup2mPath = "/root/repo/data/webpages/warmup_2000000"
 
     // generate the bench + warmup tables once (excluded from timings)
     {
       val s = session(cpus)
       WebPagesGen.ensureTable(s, benchPath, benchRows, numHosts = 10000)
       WebPagesGen.ensureTable(s, warmupPath, 50000L, numHosts = 2000)
+      WebPagesGen.ensureTable(s, warmup2mPath, 2000000L, numHosts = 10000)
       s.stop()
     }
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
+
+    // Pre-touch the bench table into the OS page cache, UNtimed and
+    // unconfined: r4's first confined low-level trial paid the cold
+    // read of the full zstd table at 8 cores inside its measured
+    // window (part of the 210 s outlier above). A plain parallel file
+    // read warms the cache in seconds at full parallelism; trials then
+    // measure compute, not first-touch I/O. (On a real cluster the
+    // executors' first scan pays this once too — but the scaling
+    // metric is about CPU scaling, not one cold read.)
+    locally {
+      val dir = new java.io.File(benchPath)
+      val files = Option(dir.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(16)
+      try {
+        val t0 = System.nanoTime()
+        val buf = new ThreadLocal[Array[Byte]] {
+          override def initialValue(): Array[Byte] = new Array[Byte](1 << 20)
+        }
+        files.map { f =>
+          pool.submit(new Runnable {
+            def run(): Unit = {
+              val in = new java.io.FileInputStream(f)
+              try { while (in.read(buf.get()) >= 0) () } finally in.close()
+            }
+          })
+        }.foreach(_.get())
+        System.err.println(f"[bench] page-cache pre-touch: ${files.length} files, " +
+          f"${files.map(_.length).sum / 1e9}%.1f GB in ${(System.nanoTime() - t0) / 1e9}%.1f s")
+      } finally pool.shutdown()
+    }
 
     // Per-phase minima over N trials estimate engine capability:
     // multi-second swings between identical trials on this shared VM
@@ -234,14 +275,17 @@ object Bench {
       if (doScaling) try {
         confined = confineToCores(cpusLow)
         System.err.println(s"[bench] affinity confined to $cpusLow cores: $confined")
-        // JIT/codegen warmup at each level, outside every timed window.
+        // JIT/codegen warmup at each level, outside every timed window —
+        // at BENCH-like scale (the 2M-row table; see warmup2mPath note)
+        // so C2 tiering on the hot kernels amortizes before pair 1, not
+        // inside it.
         // try/finally: a leaked SparkContext would make every later
         // session(cpus).getOrCreate silently reuse the low-parallelism
         // context (getOrCreate ignores the new master), mislabeling all
         // subsequent numbers
         locally {
           val s = session(cpusLow)
-          try Flagship.run(s, warmupPath, nProbes = 0) finally {
+          try Flagship.run(s, warmup2mPath, nProbes = 0) finally {
             s.stop()
             SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
           }
@@ -249,7 +293,7 @@ object Bench {
         confineToCores(cpus)
         locally {
           val s = session(cpus)
-          try Flagship.run(s, warmupPath) finally {
+          try Flagship.run(s, warmup2mPath) finally {
             s.stop()
             SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
           }
@@ -300,7 +344,7 @@ object Bench {
     val spark = session(cpus)
     val high = highPaired.getOrElse {
       try {
-        Flagship.run(spark, warmupPath)
+        Flagship.run(spark, warmup2mPath)
         composite((1 to trials).map { i =>
           val r = Flagship.run(spark, benchPath)
           System.err.println(f"[bench] local$cpus trial $i: perHost=${r.buildPerHostSec}%.2f " +

@@ -71,10 +71,54 @@ final class ShardedEbf(shardBytes: Array[Array[Byte]], val routeSeed: Long)
     shardBytes.map(b => if (b == null) 0L else b.length.toLong).sum
 
   def maxLevel: Int = (0 until numShards).map(shard(_).level).max
+
+  /** Whole-table wire form: `SEBF1 | routeSeed | numShards |
+    * (len | bytes)*` with len = -1 for an absent (never-built) shard.
+    * Lets the sharded filter travel as ONE binary value — the
+    * scalar-subquery channel the join-prune rule uses past the
+    * single-EBF window — and deserialize once per task via SketchCache.
+    * Round-trips exactly (spec-asserted); shard order is positional so
+    * equal tables are byte-equal. */
+  def toWire: Array[Byte] = {
+    var size = 4 + 8 + 4 + 4 * numShards
+    shardBytes.foreach(b => if (b != null) size += b.length)
+    val bb = java.nio.ByteBuffer.allocate(size)
+    bb.putInt(ShardedEbf.WireMagic)
+    bb.putLong(routeSeed)
+    bb.putInt(numShards)
+    shardBytes.foreach { b =>
+      if (b == null) bb.putInt(-1)
+      else { bb.putInt(b.length); bb.put(b) }
+    }
+    bb.array()
+  }
 }
 
 object ShardedEbf {
   val DefaultRouteSeed: Long = 0x5a4d
+  /** "SEB1" — sharded-table wire magic. */
+  val WireMagic: Int = 0x53454231
+
+  def fromWire(bytes: Array[Byte]): ShardedEbf = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val magic = bb.getInt()
+    require(magic == WireMagic, f"bad ShardedEbf wire magic 0x$magic%08x")
+    val seed = bb.getLong()
+    val n = bb.getInt()
+    require(n >= 1 && n <= (1 << 24), s"implausible shard count $n")
+    val arr = new Array[Array[Byte]](n)
+    var i = 0
+    while (i < n) {
+      val len = bb.getInt()
+      if (len >= 0) {
+        val b = new Array[Byte](len)
+        bb.get(b)
+        arr(i) = b
+      }
+      i += 1
+    }
+    new ShardedEbf(arr, seed)
+  }
 
   /** Assemble from (shardId, serializedSketch) rows. A shard with no
     * rows is a legal empty filter. */

@@ -185,7 +185,12 @@ case class TopKItem(item: String, est: Long)
   * *distinct* sketches colliding on all four windows AND length is
   * negligible for cache-keying within a query. */
 object SketchCache {
-  private final case class Key(len: Int, h1: Long, h2: Long)
+  // `token` (the deserialized class) is part of the identity: the same
+  // byte blob probed as two different sketch types must never serve one
+  // type's cached instance for the other (the tlLast fast path would
+  // otherwise asInstanceOf-throw; the content-keyed map had the same
+  // latent hazard)
+  private final case class Key(len: Int, h1: Long, h2: Long, token: Class[_])
   // bytes kept alongside the deserialized value: a hit is confirmed with
   // Arrays.equals before being served, so two distinct sketches whose
   // differences all fall outside the sampled hash windows can never
@@ -197,11 +202,11 @@ object SketchCache {
     override def initialValue(): java.util.HashMap[Key, Entry] = new java.util.HashMap()
   }
 
-  private def sampleKey(bytes: Array[Byte]): Key = {
+  private def sampleKey(bytes: Array[Byte], token: Class[_]): Key = {
     val n = bytes.length
     if (n <= 1024) {
       val h = Hash128.hashBytes(bytes, 0x5eed)
-      Key(n, h.h1, h.h2)
+      Key(n, h.h1, h.h2, token)
     } else {
       var h1 = 0x5eedL
       var h2 = 0L
@@ -213,7 +218,7 @@ object SketchCache {
         h2 ^= h.h2
         w += 1
       }
-      Key(n, h1, h2)
+      Key(n, h1, h2, token)
     }
   }
 
@@ -225,10 +230,55 @@ object SketchCache {
   // probing one sketch.
   private val tlLast = new ThreadLocal[Entry]
 
-  private def get[S <: AnyRef](bytes: Array[Byte], from: Array[Byte] => S): S = {
+  // JVM-global cache for BIG blobs (the scalar-subquery / broadcast
+  // sharded-filter case): the per-thread cache below would deserialize
+  // a 100 MB+ sketch once per task THREAD — core-count x blob bytes of
+  // heap, the difference between "one 400 MB filter per executor" and
+  // an OOM at 32 local threads (measured: JoinPruneMeasure at a 50M-key
+  // build). Identity-keyed (array equals IS reference equality) with
+  // WEAK keys, so a blob is freed when the stage that shipped it drops
+  // the reference. All probe structures are read-only after
+  // construction (ShardedEbf is explicitly thread-safe; Ebf probes are
+  // pure reads) and the synchronized map publishes them safely.
+  // Deserialization happens under the map lock: every thread wants the
+  // same blob, so one builds and the rest wait instead of duplicating.
+  private val BigBlobBytes: Int = 8 << 20
+  private val globalBig = new java.util.WeakHashMap[Array[Byte], AnyRef]
+  // second level for big blobs arriving as content-equal but DISTINCT
+  // instances (a per-row UnsafeRow.getBinary copy): tiny bound — these
+  // entries pin >=8MB blobs strongly, and more than a couple of live
+  // big filters at once means the query is in trouble anyway
+  private val globalBigByContent = new java.util.HashMap[Key, Entry]
+
+  private def getBig[S <: AnyRef](bytes: Array[Byte], token: Class[S],
+                                  from: Array[Byte] => S): S =
+    globalBig.synchronized {
+      val byId = globalBig.get(bytes)
+      if (token.isInstance(byId)) byId.asInstanceOf[S]
+      else {
+        val key = sampleKey(bytes, token)
+        val e = globalBigByContent.get(key)
+        val v =
+          if (e != null && java.util.Arrays.equals(bytes, e.bytes))
+            e.value.asInstanceOf[S]
+          else {
+            if (globalBigByContent.size() > 4) globalBigByContent.clear()
+            val built = from(bytes)
+            globalBigByContent.put(key, Entry(bytes, built))
+            built
+          }
+        globalBig.put(bytes, v)
+        v
+      }
+    }
+
+  private def get[S <: AnyRef](bytes: Array[Byte], token: Class[S],
+                               from: Array[Byte] => S): S = {
+    if (bytes.length >= BigBlobBytes) return getBig(bytes, token, from)
     val last = tlLast.get()
-    if (last != null && (last.bytes eq bytes)) return last.value.asInstanceOf[S]
-    val key = sampleKey(bytes)
+    if (last != null && (last.bytes eq bytes) && token.isInstance(last.value))
+      return last.value.asInstanceOf[S]
+    val key = sampleKey(bytes, token)
     val m = tl.get()
     val e = m.get(key)
     if (e != null && java.util.Arrays.equals(bytes, e.bytes)) {
@@ -246,10 +296,12 @@ object SketchCache {
     }
   }
 
-  def ebf(b: Array[Byte]): Ebf = get(b, Ebf.fromBytes)
-  def freq(b: Array[Byte]): FreqSketch = get(b, FreqSketch.fromBytes)
-  def hll(b: Array[Byte]): Hll = get(b, Hll.fromBytes)
-  def cms(b: Array[Byte]): Cms = get(b, Cms.fromBytes)
-  def kll(b: Array[Byte]): Kll = get(b, Kll.fromBytes)
-  def td(b: Array[Byte]): TDigest = get(b, TDigest.fromBytes)
+  def ebf(b: Array[Byte]): Ebf = get(b, classOf[Ebf], Ebf.fromBytes)
+  def freq(b: Array[Byte]): FreqSketch = get(b, classOf[FreqSketch], FreqSketch.fromBytes)
+  def hll(b: Array[Byte]): Hll = get(b, classOf[Hll], Hll.fromBytes)
+  def cms(b: Array[Byte]): Cms = get(b, classOf[Cms], Cms.fromBytes)
+  def kll(b: Array[Byte]): Kll = get(b, classOf[Kll], Kll.fromBytes)
+  def td(b: Array[Byte]): TDigest = get(b, classOf[TDigest], TDigest.fromBytes)
+  def sharded(b: Array[Byte]): graft.core.ShardedEbf =
+    get(b, classOf[graft.core.ShardedEbf], graft.core.ShardedEbf.fromWire)
 }

@@ -17,6 +17,7 @@ object JoinPruneMeasure {
     val factRows = args.lift(0).map(_.toLong).getOrElse(32000000L)
     val buildKeys = args.lift(1).map(_.toLong).getOrElse(200000L)
     val keySpace = args.lift(2).map(_.toLong).getOrElse(10000000L)
+    val trials = args.lift(3).map(_.toInt).getOrElse(3)
 
     val spark = SparkSession.builder()
       .master("local[32]")
@@ -32,6 +33,8 @@ object JoinPruneMeasure {
       .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // registers EbfJoinPruneRule (opt-in via conf) + the sketch functions
+    graft.functions.Graft.ensure(spark)
 
     val shuffleBytes = new java.util.concurrent.atomic.AtomicLong
     spark.sparkContext.addSparkListener(new SparkListener {
@@ -68,13 +71,41 @@ object JoinPruneMeasure {
     consume(fact.limit(1000000).join(build, col("fk") === col("bk")))
     consume(JoinPrune.ebfPrunedJoin(fact.limit(1000000), "fk", build, "bk"))
 
-    for (_ <- 1 to 3) {
+    // O36 rule paths: maxBuildMb steers which window admits the build
+    // side (HUGE -> monolithic single-EBF subquery; 1 -> the sharded
+    // blob form) so the two filter shapes A/B on the SAME build side
+    def rulePath(label: String, maxBuildMb: Long): Unit = {
+      spark.conf.set("spark.graft.joinPrune.enabled", "true")
+      spark.conf.set("spark.graft.joinPrune.maxBuildBytes", (maxBuildMb << 20).toString)
+      try {
+        val j = fact.join(build, col("fk") === col("bk"))
+        val opt = j.queryExecution.optimizedPlan
+        def n(p: Class[_]) = {
+          var c = 0
+          opt.foreach(x => x.expressions.foreach(_.foreach(e =>
+            if (p.isInstance(e)) c += 1)))
+          c
+        }
+        println(s"[joinprune] $label fired: mono=" +
+          n(classOf[graft.plans.EbfProbeExpr]) +
+          " sharded=" + n(classOf[graft.plans.EbfShardedBlobProbeExpr]) +
+          " buildStats=" + build.queryExecution.optimizedPlan.stats.sizeInBytes)
+        measure(label) { consume(j) }
+      } finally {
+        spark.conf.unset("spark.graft.joinPrune.enabled")
+        spark.conf.unset("spark.graft.joinPrune.maxBuildBytes")
+      }
+    }
+
+    for (_ <- 1 to trials) {
       measure("plain") {
         consume(fact.join(build, col("fk") === col("bk")))
       }
       measure("ebf-pruned") {
         consume(JoinPrune.ebfPrunedJoin(fact, "fk", build, "bk"))
       }
+      rulePath("rule-mono", 1L << 20)
+      rulePath("rule-sharded", 1L)
     }
     spark.stop()
   }
