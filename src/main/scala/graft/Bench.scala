@@ -183,9 +183,18 @@ object Bench {
     // executors' first scan pays this once too — but the scaling
     // metric is about CPU scaling, not one cold read.)
     locally {
-      val dir = new java.io.File(benchPath)
-      val files = Option(dir.listFiles()).getOrElse(Array.empty)
-        .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      // recursive: the table is partitionBy(lang) — files live in
+      // lang=* subdirectories
+      val files = {
+        val out = Array.newBuilder[java.io.File]
+        def walk(d: java.io.File): Unit =
+          Option(d.listFiles()).getOrElse(Array.empty).foreach { f =>
+            if (f.isDirectory) walk(f)
+            else if (f.getName.endsWith(".parquet")) out += f
+          }
+        walk(new java.io.File(benchPath))
+        out.result()
+      }
       val pool = java.util.concurrent.Executors.newFixedThreadPool(16)
       try {
         val t0 = System.nanoTime()

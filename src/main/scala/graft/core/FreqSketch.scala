@@ -305,7 +305,15 @@ final class FreqSketch(var capacity: Int,
   private[core] def loadBytes(bytes: Array[Byte]): Unit = {
     val in = ByteBuffer.wrap(bytes)
     val magic = in.getInt()
-    require(magic == FreqSketch.MAGIC, f"bad FreqSketch magic 0x$magic%08x")
+    // FQS1 is also accepted: the round-4 build that introduced the
+    // seed field shipped it briefly under the old magic, so
+    // structurally-seeded FQS1 blobs exist (ADVICE r4). Layout is
+    // identical from the capacity field on, and misparse of a genuine
+    // pre-seed FQS1 blob is impossible in practice: it would read the
+    // old n as seed and land sz on garbage, failing the buffer-bounds
+    // reads below loudly rather than silently.
+    require(magic == FreqSketch.MAGIC || magic == FreqSketch.MagicV1,
+      f"bad FreqSketch magic 0x$magic%08x")
     capacity = in.getInt()
     seed = in.getLong()
     n = in.getLong()
@@ -332,8 +340,10 @@ final class FreqSketch(var capacity: Int,
 
 object FreqSketch {
   val MAGIC: Int = 0x46515332 // "FQS2" — v2 wire format (8-byte seed
-  // field between capacity and n); v1 bytes fail the magic check loudly
-  // instead of being misparsed (seed read from old n, size from garbage)
+  // field between capacity and n)
+  val MagicV1: Int = 0x46515331 // "FQS1" — accepted on read for the
+  // interim blobs that carried the seeded layout under the old magic
+  // (see loadBytes); always written as FQS2
   val DefaultCapacity = 256
   private[core] val HashSeed = 0x4d47534bL // "MGSK"
 

@@ -60,7 +60,7 @@ object SketchSerde {
       case Cms.MAGIC     => Cms.fromBytes(bytes)
       case Kll.MAGIC     => Kll.fromBytes(bytes)
       case TDigest.MAGIC => TDigest.fromBytes(bytes)
-      case FreqSketch.MAGIC => FreqSketch.fromBytes(bytes)
+      case FreqSketch.MAGIC | FreqSketch.MagicV1 => FreqSketch.fromBytes(bytes)
       case m             => throw new IllegalArgumentException(f"unknown sketch magic 0x$m%08x")
     }
   }

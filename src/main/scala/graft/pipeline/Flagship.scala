@@ -102,9 +102,7 @@ object Flagship {
       SaltedAgg.SketchSpec("td", td(col("text_len")), "tdigest_merge_agg"))
   }
 
-  /** Phase 1 body: per-(lang,host) sketches, salted two-stage; returns
-    * the group count with every sketch byte forced. The projection
-    * BEFORE the clustering exchange is as narrow as the semantics
+  /** The phase-1 pre-exchange projection — as narrow as the semantics
     * allow: lang + host + the 16-byte url hash pair + the 8-byte
     * text_len — never the text, and (since round 3) not the url either
     * (EBF/HLL consume Hash128.H directly, so hashing map-side is
@@ -113,7 +111,6 @@ object Flagship {
     * scheme://host/path, where substring_index == parse_url(HOST)
     * (spec-asserted) at ~60% of its cost — parse_url stays the
     * general-input form in the query suites. */
-  /** The phase-1 pre-exchange projection (see [[phase1]] scaladoc). */
   private def hostProjection(df: DataFrame): DataFrame = df
     .select(col("lang"),
       graft.plans.Hash128Expr.h1(col("url"), Graft.SketchSeed).as("__h1"),
@@ -121,6 +118,9 @@ object Flagship {
       length(col("text")).cast("double").as("text_len"),
       substring_index(substring_index(col("url"), "/", 3), "/", -1).as("host"))
 
+  /** Phase 1 body: per-(lang,host) sketches, salted two-stage; returns
+    * the group count with every sketch byte forced. Pre-exchange
+    * projection: [[hostProjection]]. */
   private[graft] def phase1(wp: DataFrame, numSalts: Int,
                             native: Boolean = true): Long = {
     val withHost = hostProjection(wp)

@@ -145,4 +145,18 @@ class FreqSketchSpec extends AnyFunSuite {
     assert(rt.n == f.n && rt.maxError == f.maxError && rt.topK(32) == f.topK(32))
     assert(SketchSerde.fromBytes(b).isInstanceOf[FreqSketch])
   }
+
+  test("interim FQS1-magic blobs with the seeded layout still load") {
+    // the round-4 build briefly persisted the seeded layout under the
+    // v1 magic — those blobs must load identically (re-serialization
+    // normalizes to FQS2)
+    val f = FreqSketch.empty(32)
+    zipfStream(2000, universe = 200, seed = 11).foreach(f.add)
+    val b = f.toBytes
+    val v1 = b.clone()
+    java.nio.ByteBuffer.wrap(v1).putInt(FreqSketch.MagicV1)
+    val rt = FreqSketch.fromBytes(v1)
+    assert(rt.n == f.n && rt.topK(32) == f.topK(32))
+    assert(java.util.Arrays.equals(rt.toBytes, b))
+  }
 }
