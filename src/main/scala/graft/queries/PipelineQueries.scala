@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.core.Kll
 import graft.functions.Graft
-import graft.pipeline.{CheckpointRunner, JoinPrune, RangePartition, SaltedAgg}
+import graft.pipeline.{AsofJoin, CheckpointRunner, JoinPrune, RangePartition, SaltedAgg}
 import graft.pipeline.SaltedAgg.SketchSpec
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -151,6 +151,40 @@ object PipelineQueries {
           case None => s.conf.unset("spark.graft.joinPrune.enabled")
         }
       }
+    },
+
+    // O45: as-of (point-in-time) join — the classic operator Spark
+    // lacks, DuckDB's native ASOF LEFT JOIN is the exact oracle. For
+    // every non-purchase event, the same user's most recent prior (or
+    // simultaneous) purchase: value semantics, tie direction (<=), and
+    // left-outer null behavior all verified row-for-row.
+    "asof_prior_purchase" -> { (s, dir) =>
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val left = ev.filter(col("event_type") =!= "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val right = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("purchase_ts"),
+          col("value").as("purchase_value"))
+      AsofJoin.join(left, right, Seq("user_id"), "ts", "purchase_ts")
+        .select(col("event_id"), col("user_id"),
+          col("purchase_ts"), col("purchase_value"))
+        .orderBy("event_id")
+    },
+
+    // O45 forward + tolerance: for every click, the same user's NEXT
+    // error within one hour (else nulls — the match is nulled, the
+    // left row survives, merge_asof semantics)
+    "asof_next_error" -> { (s, dir) =>
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val left = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val right = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("ts").as("error_ts"),
+          col("event_id").as("error_id"))
+      AsofJoin.join(left, right, Seq("user_id"), "ts", "error_ts",
+          direction = "forward", tolerance = Some(expr("INTERVAL 1 HOUR")))
+        .select(col("event_id"), col("user_id"), col("error_ts"), col("error_id"))
+        .orderBy("event_id")
     },
 
     // O32: KLL-driven balanced range repartitioning — exact placement
@@ -354,6 +388,23 @@ object PipelineQueries {
         "FROM lineitem JOIN supplier ON l_suppkey = s_suppkey " +
         "WHERE s_nationkey < 5 " +
         "GROUP BY s_nationkey ORDER BY s_nationkey"),
+    "asof_prior_purchase" ->
+      ("SELECT l.event_id, l.user_id, r.ts AS purchase_ts, " +
+        "r.value AS purchase_value " +
+        "FROM (SELECT * FROM events WHERE event_type <> 'purchase') l " +
+        "ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r " +
+        "ON l.user_id = r.user_id AND l.ts >= r.ts " +
+        "ORDER BY l.event_id"),
+    "asof_next_error" ->
+      ("SELECT event_id, user_id, " +
+        "CASE WHEN within THEN e_ts END AS error_ts, " +
+        "CASE WHEN within THEN e_id END AS error_id FROM (" +
+        "SELECT l.event_id, l.user_id, r.ts AS e_ts, r.event_id AS e_id, " +
+        "r.ts <= l.ts + INTERVAL 1 HOUR AS within " +
+        "FROM (SELECT * FROM events WHERE event_type = 'click') l " +
+        "ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') r " +
+        "ON l.user_id = r.user_id AND l.ts <= r.ts) " +
+        "ORDER BY event_id"),
     "kll_range_partition_check" ->
       ("SELECT COUNT(*) AS n_rows, TRUE AS all_partitions_nonempty, " +
         "TRUE AS balanced_within_sketch_bound, TRUE AS ranges_disjoint_ordered " +
