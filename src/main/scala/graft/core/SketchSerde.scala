@@ -61,6 +61,7 @@ object SketchSerde {
       case Kll.MAGIC     => Kll.fromBytes(bytes)
       case TDigest.MAGIC => TDigest.fromBytes(bytes)
       case FreqSketch.MAGIC | FreqSketch.MagicV1 => FreqSketch.fromBytes(bytes)
+      case Theta.MAGIC   => Theta.fromBytes(bytes)
       case m             => throw new IllegalArgumentException(f"unknown sketch magic 0x$m%08x")
     }
   }

@@ -61,6 +61,7 @@ object Graft {
     r.register("ebf_agg", udaf(new EbfAgg(Ebf.DefaultM0, Ebf.DefaultK, Ebf.DefaultL0,
       Ebf.DefaultAlphaNum, Ebf.DefaultAlphaDen, SketchSeed)))
     r.register("hll_agg", udaf(new HllAgg(Hll.DefaultP, SketchSeed)))
+    r.register("theta_agg", udaf(new ThetaAgg(Theta.DefaultK, SketchSeed)))
     r.register("cms_agg", udaf(new CmsAgg(Cms.DefaultDepth, Cms.DefaultWidth, SketchSeed)))
     r.register("cms_tokens_agg", udaf(new CmsTokensAgg(Cms.DefaultDepth, Cms.DefaultWidth, SketchSeed)))
     r.register("kll_agg", udaf(new KllAgg(Kll.DefaultK)))
@@ -74,6 +75,7 @@ object Graft {
     // merge aggregators (sketch-bytes -> sketch-bytes re-aggregation)
     r.register("ebf_merge_agg", udaf(new EbfMergeAgg))
     r.register("hll_merge_agg", udaf(new HllMergeAgg))
+    r.register("theta_merge_agg", udaf(new ThetaMergeAgg))
     r.register("cms_merge_agg", udaf(new CmsMergeAgg))
     r.register("kll_merge_agg", udaf(new KllMergeAgg))
     r.register("tdigest_merge_agg", udaf(new TDigestMergeAgg))
@@ -109,6 +111,21 @@ object Graft {
     // (GraftShardExpr) — the router sits on the map side of every
     // shard build/probe, where a UDF would break whole-stage codegen.
     r.register("hll_estimate", (sk: Array[Byte]) => SketchCache.hll(sk).estimate)
+    // O46 theta set algebra. Estimates round to LONG (hll_estimate
+    // convention). The set-op functions deserialize through the cache
+    // (loaded sketches are canonical: compact() is a no-op, so the
+    // shared instances are never mutated); theta_union builds a FRESH
+    // left operand because merge mutates the receiver.
+    r.register("theta_estimate",
+      (sk: Array[Byte]) => math.rint(SketchCache.theta(sk).estimate).toLong)
+    r.register("theta_intersect_estimate", (a: Array[Byte], b: Array[Byte]) =>
+      math.rint(SketchCache.theta(a).intersectEstimate(SketchCache.theta(b))).toLong)
+    r.register("theta_diff_estimate", (a: Array[Byte], b: Array[Byte]) =>
+      math.rint(SketchCache.theta(a).differenceEstimate(SketchCache.theta(b))).toLong)
+    r.register("theta_jaccard", (a: Array[Byte], b: Array[Byte]) =>
+      SketchCache.theta(a).jaccardEstimate(SketchCache.theta(b)))
+    r.register("theta_union", (a: Array[Byte], b: Array[Byte]) =>
+      Theta.fromBytes(a).merge(SketchCache.theta(b)).toBytes)
     // null key -> 0: never inserted, so its count is zero (build/probe
     // symmetry, same rationale as ebf_might_contain's null guard; the
     // literal-sketch rewrite mirrors this exactly — SketchScalarKinds)
@@ -304,4 +321,5 @@ object SketchCache {
   def td(b: Array[Byte]): TDigest = get(b, classOf[TDigest], TDigest.fromBytes)
   def sharded(b: Array[Byte]): graft.core.ShardedEbf =
     get(b, classOf[graft.core.ShardedEbf], graft.core.ShardedEbf.fromWire)
+  def theta(b: Array[Byte]): Theta = get(b, classOf[Theta], Theta.fromBytes)
 }

@@ -62,6 +62,17 @@ object SketchAggregators {
     def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
   }
 
+  /** O46: KMV/theta distinct-count sketch with set algebra (see
+    * [[graft.core.Theta]]). */
+  final class ThetaAgg(k: Int, seed: Long) extends Aggregator[String, Theta, Array[Byte]] {
+    def zero: Theta = Theta.empty(k, seed)
+    def reduce(b: Theta, key: String): Theta = { if (key != null) b.add(key); b }
+    def merge(a: Theta, b: Theta): Theta = a.merge(b)
+    def finish(b: Theta): Array[Byte] = b.toBytes
+    def bufferEncoder: Encoder[Theta] = Encoders.kryo[Theta]
+    def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
   final class CmsAgg(depth: Int, width: Int, seed: Long)
       extends Aggregator[String, Cms, Array[Byte]] {
     def zero: Cms = Cms.empty(depth, width, seed)
@@ -350,4 +361,6 @@ object SketchAggregators {
       extends BytesMergeAgg[TDigest](TDigest.fromBytes, _ merge _, _.toBytes)
   final class TopKMergeAgg
       extends BytesMergeAgg[FreqSketch](FreqSketch.fromBytes, _ merge _, _.toBytes)
+  final class ThetaMergeAgg
+      extends BytesMergeAgg[Theta](Theta.fromBytes, _ merge _, _.toBytes)
 }

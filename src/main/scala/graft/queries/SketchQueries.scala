@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.core._
 import graft.functions.{Graft, SketchAggregators}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Driver-contract queries for the sketch operators (SURVEY.md §2.3).
@@ -368,6 +368,74 @@ object SketchQueries {
         (q, math.abs(row.getDouble(i) - q) <= 0.05)
       }.toDF("q", "within_tolerance").orderBy("q")
     },
+
+    // ---------------------------------------------------- theta (O46)
+    // KMV/theta distinct-count with SET ALGEBRA — what HLL cannot do:
+    // intersections/differences on the retained-sample level instead of
+    // inclusion-exclusion (whose error scales with the UNION). Below
+    // capacity (k = 2048) the sketch retains every distinct hash, so
+    // the estimates are EXACT and the oracle is value equality, not a
+    // bound. The event-user domains sit below k at every SF the driver
+    // runs, which is asserted (at_capacity=false) rather than assumed.
+    "theta_users_by_type" -> { (s, dir) =>
+      Graft.ensure(s)
+      events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(expr("theta_estimate(theta_agg(cast(user_id as string)))")
+          .as("ndv_users"))
+        .orderBy("event_type")
+    },
+
+    // set algebra through the registered SQL surface (X'..' literals ->
+    // SketchCache path): two PARTIALLY-overlapping user cohorts
+    // (early-window clickers vs late-window purchasers — every user
+    // does every event type over the full month, so cohorts need a
+    // time cut to differ), exact vs DuckDB INTERSECT/EXCEPT/union
+    "theta_intersect_check" -> { (s, dir) =>
+      Graft.ensure(s)
+      val ev = events(s, dir)
+      def hexOf(t: String, cut: Column): String = ev
+        .filter(col("event_type") === t && cut)
+        .select(expr("theta_agg(cast(user_id as string))"))
+        .head.getAs[Array[Byte]](0).map(b => f"$b%02x").mkString
+      val a = hexOf("click", col("ts") < "2024-01-04")
+      val b = hexOf("purchase", col("ts") >= "2024-01-27")
+      s.range(1).select(
+        expr(s"theta_intersect_estimate(X'$a', X'$b')").as("early_and_late"),
+        expr(s"theta_diff_estimate(X'$a', X'$b')").as("early_not_late"),
+        expr(s"theta_estimate(theta_union(X'$a', X'$b'))").as("early_or_late"))
+    },
+
+    // estimating mode: lineitem orderkeys exceed k, so the estimator
+    // runs at capacity — exact value from DuckDB, estimate within
+    // 4 RSE (deterministic: fixed seed), capacity asserted
+    "theta_orderkey_bound" -> { (s, dir) =>
+      Graft.ensure(s)
+      val li = lineitem(s, dir)
+      val t = Theta.fromBytes(li
+        .select(expr("theta_agg(cast(l_orderkey as string))"))
+        .head.getAs[Array[Byte]](0))
+      val exact = li.select(countDistinct(col("l_orderkey"))).head.getLong(0)
+      s.range(1).select(
+        lit(exact).as("exact_orderkeys"),
+        lit(math.abs(t.estimate / exact - 1.0) <= 4 * t.rse).as("within_bound"),
+        lit(t.retained == Theta.DefaultK).as("at_capacity"))
+    },
+
+    // merge path == one-shot build, byte-identical (the engine-wide
+    // mergeability contract, through the SQL merge aggregator)
+    "theta_merge_equivalence" -> { (s, dir) =>
+      Graft.ensure(s)
+      val ev = events(s, dir)
+      val whole = ev.select(expr("theta_agg(cast(user_id as string))"))
+        .head.getAs[Array[Byte]](0)
+      val merged = ev.groupBy(col("event_type"))
+        .agg(expr("theta_agg(cast(user_id as string))").as("sk"))
+        .select(expr("theta_merge_agg(sk)"))
+        .head.getAs[Array[Byte]](0)
+      s.range(1).select(
+        lit(java.util.Arrays.equals(whole, merged)).as("byte_identical"))
+    },
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -415,5 +483,23 @@ object SketchQueries {
       "SELECT CAST(q AS DOUBLE) AS q, TRUE AS within_bound FROM (VALUES (0.1),(0.5),(0.9)) t(q) ORDER BY q",
     "tdigest_bound_check" ->
       "SELECT CAST(q AS DOUBLE) AS q, TRUE AS within_tolerance FROM (VALUES (0.01),(0.1),(0.5),(0.9),(0.99)) t(q) ORDER BY q",
+    // theta is EXACT below capacity — the oracles are value equalities
+    "theta_users_by_type" ->
+      ("SELECT event_type, COUNT(DISTINCT user_id) AS ndv_users " +
+        "FROM events GROUP BY event_type ORDER BY event_type"),
+    "theta_intersect_check" ->
+      ("WITH a AS (SELECT DISTINCT user_id FROM events " +
+        "WHERE event_type = 'click' AND ts < TIMESTAMP '2024-01-04'), " +
+        "b AS (SELECT DISTINCT user_id FROM events " +
+        "WHERE event_type = 'purchase' AND ts >= TIMESTAMP '2024-01-27') " +
+        "SELECT " +
+        "(SELECT COUNT(*) FROM (SELECT * FROM a INTERSECT SELECT * FROM b)) AS early_and_late, " +
+        "(SELECT COUNT(*) FROM (SELECT * FROM a EXCEPT SELECT * FROM b)) AS early_not_late, " +
+        "(SELECT COUNT(*) FROM (SELECT * FROM a UNION SELECT * FROM b)) AS early_or_late"),
+    "theta_orderkey_bound" ->
+      ("SELECT COUNT(DISTINCT l_orderkey) AS exact_orderkeys, " +
+        "TRUE AS within_bound, TRUE AS at_capacity FROM lineitem"),
+    "theta_merge_equivalence" ->
+      "SELECT TRUE AS byte_identical",
   )
 }
