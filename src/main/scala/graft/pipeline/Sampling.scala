@@ -45,4 +45,39 @@ object Sampling {
         thresholds.values.head.length) < col("__threshold"))
       .drop("__stratum", "__threshold")
   }
+
+  /** Deterministic WEIGHTED sampling without replacement
+    * (Efraimidis & Spirakis 2006, algorithm A-ES): per group, keep the
+    * `n` rows with the largest `u^(1/w)` — equivalently the largest
+    * `ln(u)/w`, which is what is computed (monotone transform, avoids
+    * pow underflow at large weights). The uniform `u` derives from the
+    * md5 of the key, NOT an RNG: 13 hex nibbles = 52 bits convert to a
+    * double exactly, so any engine with md5 reproduces the identical
+    * sample — the DuckDB driver-gate oracle compares the selected
+    * id SETS row-for-row. Rows with weight <= 0 are never sampled.
+    *
+    * This is the weighted corpus-selection primitive (sample documents
+    * proportional to a quality/length score within each lang/source
+    * stratum). Plan shape at 10^12 rows: one hash exchange on the
+    * group columns and a per-group sort — the standard top-n window;
+    * for the UNgrouped case prefer a small `n` (Spark rewrites global
+    * `orderBy.limit` to TakeOrdered, but the windowed form sorts one
+    * partition). Ties are broken by the key for cross-engine
+    * determinism (score ties are ~impossible for distinct keys). */
+  def weightedSample(df: DataFrame, keyCol: Column, weightCol: Column,
+                     n: Int, groupCols: Seq[Column] = Nil): DataFrame = {
+    require(n >= 1, s"sample size must be >= 1, got $n")
+    // (v + 1) / (16^13 + 1): v in [0, 16^13) -> u in (0, 1) — never 0
+    // (ln defined) and never 1 (ranks below any unweighted tie)
+    val u = (conv(substring(md5(keyCol.cast("string")), 1, 13), 16, 10)
+      .cast("double") + 1.0) / 4503599627370497.0
+    val score = log(u) / weightCol.cast("double")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols: _*)
+      .orderBy(score.desc, keyCol.cast("string").asc)
+    df.filter(weightCol > 0)
+      .withColumn("__wr", row_number().over(w))
+      .filter(col("__wr") <= n)
+      .drop("__wr")
+  }
 }

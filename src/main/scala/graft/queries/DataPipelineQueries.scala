@@ -178,6 +178,18 @@ object DataPipelineQueries {
         .orderBy("lang", "doc_id")
     },
 
+    // O47: deterministic WEIGHTED sampling without replacement
+    // (Efraimidis-Spirakis over an md5-derived uniform — see
+    // Sampling.weightedSample): 40 docs per lang, weight = n_chars.
+    // Oracle-EXACT: DuckDB computes the identical u (13 md5 nibbles =
+    // 52 bits -> exact double) and the identical ln(u)/w ranking.
+    "sample_weighted" -> { (s, dir) =>
+      graft.pipeline.Sampling.weightedSample(docs(s, dir), col("doc_id"),
+          col("n_chars"), 40, Seq(col("lang")))
+        .select("lang", "doc_id")
+        .orderBy("lang", "doc_id")
+    },
+
     "dedup_embedding_cosine" -> { (s, dir) =>
       Graft.ensure(s)
       // threshold 0.9 sits between the planted twins (cosine >= 0.917)
@@ -458,6 +470,13 @@ object DataPipelineQueries {
         "ORDER BY lang, doc_id"),
     "ngram_jaccard_check" ->
       "SELECT TRUE AS est_within_bound, TRUE AS planted_jaccard_high",
+    "sample_weighted" ->
+      ("SELECT lang, doc_id FROM (" +
+        "SELECT lang, doc_id, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY " +
+        "ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))::UBIGINT + 1) " +
+        "/ 4503599627370497.0) / n_chars DESC, CAST(doc_id AS VARCHAR)) AS rn " +
+        "FROM documents WHERE n_chars > 0) " +
+        "WHERE rn <= 40 ORDER BY lang, doc_id"),
     "ann_lsh_recall" ->
       "SELECT TRUE AS planted_recall_at_10_ge_08",
     "ann_ivf_recall" ->

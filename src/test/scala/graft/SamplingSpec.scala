@@ -49,4 +49,34 @@ class SamplingSpec extends AnyFunSuite {
     assert(math.abs(counts("0") / 10000.0 - 0.5) < 0.03)
     assert(math.abs(counts("1") / 10000.0 - 0x0400.toDouble / 0x10000) < 0.02)
   }
+
+  test("weighted sample: heavy rows dominate, weight<=0 excluded, exact size") {
+    // 1000 light rows (w=1) + 100 heavy rows (w=200): A-ES inclusion
+    // probability for a heavy row is >> a light row's; with the
+    // deterministic md5 uniforms this either always passes or always
+    // fails — measured once, pinned forever
+    val df = spark.range(1100).select(col("id"),
+      when(col("id") < 100, lit(200.0)).otherwise(lit(1.0)).as("w"))
+      .withColumn("w", when(col("id") === 1099, lit(0.0)).otherwise(col("w")))
+    val out = Sampling.weightedSample(df, col("id"), col("w"), 100)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(out.size === 100)
+    assert(!out.contains(1099L), "zero-weight row must never be sampled")
+    val heavy = out.count(_ < 100)
+    assert(heavy >= 80, s"only $heavy/100 heavy rows sampled — weights not applied")
+  }
+
+  test("weighted sample is partition-invariant and grouped") {
+    val df = spark.range(5000).select(col("id"),
+      (col("id") % 4).cast("string").as("g"),
+      (pmod(col("id") * 37, lit(100)) + 1).cast("double").as("w"))
+    def ids(parts: Int): Seq[(String, Long)] =
+      Sampling.weightedSample(df.repartition(parts), col("id"), col("w"),
+          25, Seq(col("g")))
+        .select("g", "id").orderBy("g", "id")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val a = ids(1)
+    assert(a === ids(13))
+    assert(a.groupBy(_._1).forall(_._2.size == 25))
+  }
 }
