@@ -316,7 +316,8 @@ object PipelineQueries {
       def sketchAggs = Seq(
         expr("ebf_agg(cast(doc_id as string))").as("ebf"),
         expr("hll_agg(cast(doc_id as string))").as("hll"),
-        expr("cms_agg(source)").as("cms"))
+        expr("cms_agg(source)").as("cms"),
+        expr("theta_agg(cast(doc_id as string))").as("theta"))
       val qname = "graft_stream_eq_" + java.util.UUID.randomUUID.toString.replace("-", "")
       val q = s.readStream.schema(staged.schema)
         .option("maxFilesPerTrigger", "1").parquet(tmp)
@@ -335,15 +336,17 @@ object PipelineQueries {
             .select(col("lang"),
               (col("a.ebf") === col("b.ebf")).as("ebf_equal"),
               (col("a.hll") === col("b.hll")).as("hll_equal"),
-              (col("a.cms") === col("b.cms")).as("cms_equal"))
+              (col("a.cms") === col("b.cms")).as("cms_equal"),
+              (col("a.theta") === col("b.theta")).as("theta_equal"))
             .orderBy("lang").collect().toSeq
         } finally {
           s.catalog.dropTempView(qname)
           graft.util.GraftFiles.deleteRecursively(tmp)
         }
       import s.implicits._
-      rows.map(r => (r.getString(0), r.getBoolean(1), r.getBoolean(2), r.getBoolean(3)))
-        .toDF("lang", "ebf_equal", "hll_equal", "cms_equal")
+      rows.map(r => (r.getString(0), r.getBoolean(1), r.getBoolean(2),
+          r.getBoolean(3), r.getBoolean(4)))
+        .toDF("lang", "ebf_equal", "hll_equal", "cms_equal", "theta_equal")
     },
 
     "parallelism_invariance" -> { (s, dir) =>
@@ -413,7 +416,8 @@ object PipelineQueries {
       ("SELECT TRUE AS rows_conserved, TRUE AS multiple_files, " +
         "TRUE AS file_ranges_disjoint, TRUE AS files_sorted_within"),
     "stream_vs_batch_sketch_equivalence" ->
-      ("SELECT lang, TRUE AS ebf_equal, TRUE AS hll_equal, TRUE AS cms_equal " +
+      ("SELECT lang, TRUE AS ebf_equal, TRUE AS hll_equal, TRUE AS cms_equal, " +
+        "TRUE AS theta_equal " +
         "FROM (SELECT DISTINCT lang FROM documents) ORDER BY lang"),
     "ebf_filter_persistence_check" ->
       ("SELECT TRUE AS shards_byte_identical_after_roundtrip, " +
