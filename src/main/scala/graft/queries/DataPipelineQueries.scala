@@ -178,6 +178,31 @@ object DataPipelineQueries {
         .orderBy("lang", "doc_id")
     },
 
+    // The COMPOSED curation pipeline — the operators a training-data
+    // run chains, end-to-end in one oracle-exact query: exact dedup
+    // (planted duplicates at id+2M) -> keeper corpus -> token-count
+    // quality gate -> deterministic weighted selection (25 docs/lang,
+    // weight = n_tokens). Every step is engine-portable, so DuckDB
+    // reproduces the ENTIRE pipeline row-for-row — the "switch engines
+    // and rerun your curation job" claim, demonstrated.
+    "curation_pipeline" -> { (s, dir) =>
+      Graft.ensure(s)
+      val d = docs(s, dir).select("doc_id", "lang", "text")
+      val aug = d.unionByName(
+        d.select((col("doc_id") + 2000000).as("doc_id"), col("lang"), col("text")))
+      val keepers = Dedup.exact(aug, "text", "doc_id")
+        .select(col("keeper_id").as("doc_id"))
+      val deduped = aug.join(keepers, Seq("doc_id"), "left_semi")
+      val filtered = deduped
+        .withColumn("n_tokens", expr("token_count(text)").cast("long"))
+        .filter(col("n_tokens") >= 5)
+      graft.pipeline.Sampling.weightedSample(filtered, col("doc_id"),
+          col("n_tokens"), 25, Seq(col("lang")))
+        .select(col("lang"), col("doc_id"), md5(col("text")).as("text_hash"),
+          col("n_tokens"))
+        .orderBy("lang", "doc_id")
+    },
+
     // O47: deterministic WEIGHTED sampling without replacement
     // (Efraimidis-Spirakis over an md5-derived uniform — see
     // Sampling.weightedSample): 40 docs per lang, weight = n_chars.
@@ -470,6 +495,21 @@ object DataPipelineQueries {
         "ORDER BY lang, doc_id"),
     "ngram_jaccard_check" ->
       "SELECT TRUE AS est_within_bound, TRUE AS planted_jaccard_high",
+    "curation_pipeline" ->
+      ("WITH aug AS (SELECT doc_id, lang, text FROM documents " +
+        "UNION ALL SELECT doc_id + 2000000, lang, text FROM documents), " +
+        "dedup AS (SELECT * FROM aug WHERE doc_id IN " +
+        "(SELECT MIN(doc_id) FROM aug GROUP BY md5(text))), " +
+        "filtered AS (SELECT *, CAST(array_length(string_split(text, ' ')) AS BIGINT) " +
+        "AS n_tokens FROM dedup " +
+        "WHERE array_length(string_split(text, ' ')) >= 5), " +
+        "ranked AS (SELECT lang, doc_id, md5(text) AS text_hash, n_tokens, " +
+        "ROW_NUMBER() OVER (PARTITION BY lang ORDER BY " +
+        "ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13))::UBIGINT + 1) " +
+        "/ 4503599627370497.0) / n_tokens DESC, CAST(doc_id AS VARCHAR)) AS rn " +
+        "FROM filtered) " +
+        "SELECT lang, doc_id, text_hash, n_tokens FROM ranked " +
+        "WHERE rn <= 25 ORDER BY lang, doc_id"),
     "sample_weighted" ->
       ("SELECT lang, doc_id FROM (" +
         "SELECT lang, doc_id, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY " +
