@@ -51,6 +51,8 @@ object AsofJoin {
     require(keys.nonEmpty, "as-of join needs at least one equi-key")
     require(direction == "backward" || direction == "forward",
       s"direction must be backward|forward, got $direction")
+    require(!keys.contains(leftTime) && !keys.contains(rightTime),
+      "the time column cannot also be an equi-key")
     val lPayload = left.columns.filterNot(keys.contains).toSeq
     val rPayload = right.columns.filterNot(keys.contains).toSeq
     val overlap = lPayload.intersect(rPayload)
