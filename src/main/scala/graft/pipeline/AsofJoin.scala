@@ -53,9 +53,12 @@ object AsofJoin {
       s"direction must be backward|forward, got $direction")
     require(!keys.contains(leftTime) && !keys.contains(rightTime),
       "the time column cannot also be an equi-key")
-    val lPayload = left.columns.filterNot(keys.contains).toSeq
+    // leftTime travels as __t and is re-projected under its own name;
+    // carrying it in the payload struct too would DUPLICATE the column
+    // in the output (an ambiguity trap for any later select by name)
+    val lPayload = left.columns.filterNot(c => keys.contains(c) || c == leftTime).toSeq
     val rPayload = right.columns.filterNot(keys.contains).toSeq
-    val overlap = lPayload.intersect(rPayload)
+    val overlap = (lPayload :+ leftTime).intersect(rPayload)
     require(overlap.isEmpty,
       s"non-key column collision between sides: ${overlap.mkString(", ")} — " +
         "rename/project the right side first")

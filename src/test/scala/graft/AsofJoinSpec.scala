@@ -43,8 +43,12 @@ class AsofJoinSpec extends AnyFunSuite {
     }.toMap
 
   test("backward: greatest rt <= t, ties included, unmatched null") {
-    val out = AsofJoin.join(leftDf, rightDf, Seq("k"), "t", "rt")
-      .select("id", "k", "rt", "p")
+    val full = AsofJoin.join(leftDf, rightDf, Seq("k"), "t", "rt")
+    // regression: leftTime must appear exactly once (it used to ride
+    // both __t and the payload struct — a select-by-name ambiguity)
+    assert(full.columns.toSeq.sorted === full.columns.distinct.toSeq.sorted)
+    assert(full.columns.count(_ == "t") === 1)
+    val out = full.select("id", "k", "rt", "p")
     assert(collect(out) === Map(
       1L -> (Some(8L), Some(900L)),   // a,t=10 -> rt=8
       2L -> (Some(3L), Some(901L)),   // a,t=5  -> rt=3
