@@ -5,6 +5,7 @@ import graft.functions.Graft
 import graft.multimodal.Multimodal
 import graft.similarity.{Ann, Ivf}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Training-data pipeline operators over the driver testdata: dedup
@@ -155,6 +156,53 @@ object DataPipelineQueries {
       aug.join(keepers, Seq("doc_id"), "left_semi")
         .select(col("doc_id"), md5(col("text")).as("text_hash"))
         .orderBy("doc_id")
+    },
+
+    // O48: connected components — the transitive-closure step between
+    // pairwise near-dup candidates and the one-keeper-per-CLUSTER
+    // corpus decision. Oracle-exact: the edge set here is two
+    // overlapping star-edge partitions DuckDB can reproduce (bucketed
+    // (lang, n_chars) and shifted (source, n_chars) groups — shifted
+    // buckets deliberately chain across groups, so the closure is
+    // genuinely transitive: ~90 non-trivial components incl. chains of
+    // 19 docs / 9 hops at sf0.01, not just the input cliques), and the
+    // oracle computes the same closure with a recursive CTE. The
+    // doc_id-block term caps chain length as the corpus grows (without
+    // it sf0.1 collapses into one 4985-doc component of eccentricity
+    // 76 -> 76 propagation rounds; with it sf0.1 stays at 13). Compared
+    // per-NODE (doc_id -> min-id component label), all rows.
+    "dedup_cc_check" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val w1 = Window.partitionBy(col("lang"), expr("n_chars div 8"),
+        expr("doc_id div 500"))
+      val w2 = Window.partitionBy(col("source"), expr("(n_chars + 4) div 8"),
+        expr("doc_id div 500"))
+      def starEdges(w: org.apache.spark.sql.expressions.WindowSpec) = d
+        .select(col("doc_id").as("id_a"), min(col("doc_id")).over(w).as("id_b"))
+        .filter(col("id_a") =!= col("id_b"))
+      val nodes = d.select(col("doc_id").as("id"))
+      Dedup.connectedComponents(nodes, starEdges(w1).union(starEdges(w2)))
+        .select(col("id").as("doc_id"), col("component_id"))
+        .orderBy("doc_id")
+    },
+
+    // O48 composed with the real pipeline: MinHash-LSH candidate pairs
+    // -> connected components -> cluster roster. The planted near-dup
+    // twins (id+1M) must each land in a cluster with their original.
+    // Deterministic (minhash signatures are seed-fixed) but the pair
+    // graph itself is not SQL-expressible -> rows-only dump, with
+    // dedup_cc_check as the oracle-backed companion for the CC operator
+    // and dedup_minhash_recall for the pair generation.
+    "dedup_cc_clusters" -> { (s, dir) =>
+      Graft.ensure(s)
+      val aug = withNearDups(docs(s, dir))
+      val pairs = Dedup.minhashPairs(s, aug, "text", "doc_id", threshold = 0.5)
+        .select(col("id_a"), col("id_b"))
+      val nodes = aug.select(col("doc_id").as("id"))
+      Dedup.connectedComponents(nodes, pairs)
+        .groupBy("component_id").agg(count(lit(1)).as("cluster_size"))
+        .filter(col("cluster_size") > 1)
+        .orderBy("component_id")
     },
 
     // ------------------------------------------------------ sampling
@@ -472,6 +520,16 @@ object DataPipelineQueries {
         "GROUP BY md5(text) ORDER BY text_hash"),
     "dedup_minhash_recall" ->
       "SELECT TRUE AS all_planted_found",
+    "dedup_cc_check" ->
+      ("WITH RECURSIVE " +
+        "g1 AS (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY lang, n_chars // 8, doc_id // 500) AS root FROM documents), " +
+        "g2 AS (SELECT doc_id, MIN(doc_id) OVER (PARTITION BY source, (n_chars + 4) // 8, doc_id // 500) AS root FROM documents), " +
+        "e AS (SELECT doc_id AS id, root AS nb FROM g1 WHERE doc_id <> root " +
+        "      UNION SELECT doc_id, root FROM g2 WHERE doc_id <> root), " +
+        "sym AS (SELECT id, nb FROM e UNION SELECT nb, id FROM e), " +
+        "reach(id, lbl) AS (SELECT doc_id, doc_id FROM documents " +
+        "  UNION SELECT s.nb, r.lbl FROM reach r JOIN sym s ON r.id = s.id) " +
+        "SELECT id AS doc_id, MIN(lbl) AS component_id FROM reach GROUP BY id ORDER BY doc_id"),
     "dedup_embedding_recall" ->
       "SELECT TRUE AS all_planted_found",
     "dedup_simhash_recall" ->

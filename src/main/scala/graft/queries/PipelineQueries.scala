@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.core.Kll
 import graft.functions.Graft
-import graft.pipeline.{AsofJoin, CheckpointRunner, JoinPrune, RangePartition, SaltedAgg}
+import graft.pipeline.{AsofJoin, CheckpointRunner, JoinPrune, RangePartition, SaltedAgg, Sessionize}
 import graft.pipeline.SaltedAgg.SketchSpec
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -187,6 +187,91 @@ object PipelineQueries {
         .orderBy("event_id")
     },
 
+    // O49: gap-based sessionization (12 h gap over the 30-day event
+    // log, ~3 events/session at sf0.01) — the portable window-function
+    // form, oracle-exact per session: bounds, event count, value sum.
+    "events_sessionize" -> { (s, dir) =>
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      Sessionize.summarize(
+          Sessionize.label(ev, "user_id", "ts", "event_id", 12 * 3600L),
+          "user_id", "ts", "value")
+        .select(col("user_id"), col("session_idx"),
+          col("session_start"), col("session_end"), col("n_events"),
+          round(col("total_value"), 2).as("total_value"))
+        .orderBy("user_id", "session_idx")
+    },
+
+    // O49 cross-form: Spark's native session_window grouping must
+    // produce the same sessions as the window-function form (window
+    // start = first event, window end = last event + gap, half-open).
+    "events_session_window_check" -> { (s, dir) =>
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val gap = 12 * 3600L
+      val manual = Sessionize.summarize(
+        Sessionize.label(ev, "user_id", "ts", "event_id", gap),
+        "user_id", "ts", "value")
+      val native = Sessionize.viaSessionWindow(ev, "user_id", "ts", gap)
+      val r = manual.as("m").join(native.as("nv"),
+          col("m.user_id") === col("nv.user_id") &&
+            col("m.session_start") === col("nv.w_start"), "full_outer")
+        .agg(
+          sum(when(col("m.user_id").isNull || col("nv.user_id").isNull, 1L)
+            .otherwise(0L)).as("unmatched"),
+          bool_and(col("m.n_events") === col("nv.n_events")).as("counts_eq"),
+          bool_and(col("nv.w_end") ===
+            col("m.session_end") + expr("INTERVAL 12 HOURS")).as("ends_eq"),
+          count(lit(1)).as("n")).head
+      s.range(1).select(
+        lit(r.getLong(0) == 0L).as("all_sessions_matched"),
+        lit(r.getBoolean(1)).as("counts_equal"),
+        lit(r.getBoolean(2)).as("ends_equal_shifted_by_gap"),
+        lit(r.getAs[Long]("n")).as("n_sessions"))
+    },
+
+    // O49 streaming: flatMapGroupsWithState sessionization — per-user
+    // state is the SESSION SUMMARY set (bounded by sessions, not
+    // events), merged interval-style so arrival order across the 4
+    // micro-batches cannot move a boundary. The state store carries
+    // state across batches; the final per-user state must equal the
+    // batch sessionization (bounds and counts exactly; float sums to
+    // 1e-6 — addition order differs by arrival).
+    "stream_sessionize_check" -> { (s, dir) =>
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val gap = 12 * 3600L
+      val tmp = java.nio.file.Files.createTempDirectory("graft_sessions_stream").toString
+      try {
+        ev.repartition(4).write.mode("overwrite").parquet(tmp)
+        val streamed = Sessionize.runStreamingSessions(
+          s, tmp, "user_id", "ts", "value", gap)
+        val batch = Sessionize.summarize(
+            Sessionize.label(ev, "user_id", "ts", "event_id", gap),
+            "user_id", "ts", "value")
+          .select(col("user_id"),
+            Sessionize.micros(col("session_start")).as("start_us"),
+            Sessionize.micros(col("session_end")).as("end_us"),
+            col("n_events"), col("total_value"))
+        val r = batch.as("b").join(streamed.as("st"),
+            col("b.user_id") === col("st.user_id") &&
+              col("b.start_us") === col("st.start_us"), "full_outer")
+          .agg(
+            sum(when(col("b.user_id").isNull || col("st.user_id").isNull, 1L)
+              .otherwise(0L)).as("unmatched"),
+            bool_and(col("b.end_us") === col("st.end_us")).as("ends"),
+            bool_and(col("b.n_events") === col("st.n")).as("counts"),
+            bool_and(abs(col("b.total_value") - col("st.total")) <= 1e-6).as("sums"),
+            count(lit(1)).as("n")).head
+        streamed.unpersist()
+        s.range(1).select(
+          lit(r.getLong(0) == 0L).as("all_sessions_matched"),
+          lit(r.getBoolean(1)).as("bounds_equal"),
+          lit(r.getBoolean(2)).as("counts_equal"),
+          lit(r.getBoolean(3)).as("sums_within_tolerance"),
+          lit(r.getAs[Long]("n")).as("n_sessions"))
+      } finally {
+        graft.util.GraftFiles.deleteRecursively(tmp)
+      }
+    },
+
     // O32: KLL-driven balanced range repartitioning — exact placement
     // (partition id == range id), all ranges populated and disjoint,
     // sizes within the sketch's rank-error bound of ideal, and no row
@@ -366,7 +451,33 @@ object PipelineQueries {
     },
   )
 
+  /** Shared DuckDB CTE for the sessionization oracles: same lag /
+    * flag / running-sum construction as [[Sessionize.label]], micro-
+    * second-exact gap compare (43 200 000 000 us = 12 h). */
+  private val sessionCte =
+    "WITH o AS (SELECT user_id, event_id, ts, value, " +
+      "LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts FROM events), " +
+    "f AS (SELECT *, CASE WHEN prev_ts IS NULL OR epoch_us(ts) - epoch_us(prev_ts) > 43200000000 " +
+      "THEN 1 ELSE 0 END AS new_s FROM o), " +
+    "s AS (SELECT *, CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id " +
+      "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx FROM f) "
+
   val oracleSql: Map[String, String] = Map(
+    "events_sessionize" ->
+      (sessionCte +
+        "SELECT user_id, session_idx, MIN(ts) AS session_start, MAX(ts) AS session_end, " +
+        "COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value " +
+        "FROM s GROUP BY user_id, session_idx ORDER BY user_id, session_idx"),
+    "events_session_window_check" ->
+      (sessionCte +
+        "SELECT TRUE AS all_sessions_matched, TRUE AS counts_equal, " +
+        "TRUE AS ends_equal_shifted_by_gap, " +
+        "(SELECT COUNT(*) FROM (SELECT DISTINCT user_id, session_idx FROM s)) AS n_sessions"),
+    "stream_sessionize_check" ->
+      (sessionCte +
+        "SELECT TRUE AS all_sessions_matched, TRUE AS bounds_equal, TRUE AS counts_equal, " +
+        "TRUE AS sums_within_tolerance, " +
+        "(SELECT COUNT(*) FROM (SELECT DISTINCT user_id, session_idx FROM s)) AS n_sessions"),
     "salted_vs_plain_equivalence" ->
       ("SELECT source, TRUE AS ebf_equal, TRUE AS hll_equal, TRUE AS cms_equal " +
         "FROM (SELECT DISTINCT source FROM documents) ORDER BY source"),

@@ -78,6 +78,32 @@ object RelationalQueries {
         .limit(25)
         .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price"))
     },
+
+    // multi-level aggregation: rollup with subtotal + grand-total rows.
+    // Subtotal NULLs are coalesced to 'ALL' on both engines so the sort
+    // order is engine-independent (Spark defaults NULLS FIRST asc,
+    // DuckDB NULLS LAST).
+    "rel_rollup_pricing" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n_rows"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("sum_qty"), col("n_rows"))
+        .orderBy("returnflag", "linestatus")
+    },
+
+    // pivot: order counts per priority x status, statuses as columns
+    // (Spark .pivot with an explicit value list; missing cells 0)
+    "rel_pivot_orders" -> { (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("O", "F", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("o_orderpriority")
+    },
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -110,5 +136,17 @@ object RelationalQueries {
     "rel_topk_expensive_orders" ->
       ("SELECT o_orderkey, ROUND(o_totalprice, 2) AS price FROM orders " +
         "ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 25"),
+    "rel_rollup_pricing" ->
+      ("SELECT COALESCE(l_returnflag, 'ALL') AS returnflag, " +
+        "COALESCE(l_linestatus, 'ALL') AS linestatus, " +
+        "SUM(l_quantity) AS sum_qty, COUNT(*) AS n_rows " +
+        "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) " +
+        "ORDER BY returnflag, linestatus"),
+    "rel_pivot_orders" ->
+      ("SELECT o_orderpriority, " +
+        "CAST(COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS BIGINT) AS \"O\", " +
+        "CAST(COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT) AS \"F\", " +
+        "CAST(COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS BIGINT) AS \"P\" " +
+        "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"),
   )
 }
