@@ -139,9 +139,15 @@ object Dedup {
         .select(col("dst").as("id"), col("label"))
       var next = labels.union(prop).groupBy("id").agg(min("label").as("label"))
       next = if ((it + 1) % 5 == 0) next.localCheckpoint(true) else next.cache()
-      val s = labelSum(next)
-      converged = s.compareTo(prevSum) == 0
-      prevSum = s
+      // monotonicity makes a 2-round sum compare sound (equal sums
+      // across the span mean NO round in it changed anything), so the
+      // fixpoint probe runs every other round — half the action count
+      // for at most one redundant propagation round
+      if (it % 2 == 1 || it == maxIter - 1) {
+        val s = labelSum(next)
+        converged = s.compareTo(prevSum) == 0
+        prevSum = s
+      }
       labels.unpersist()
       labels = next
       it += 1

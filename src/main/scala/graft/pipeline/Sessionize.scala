@@ -125,6 +125,14 @@ object Sessionize {
     val gapUs = gapSeconds * 1000000L
     val schema = spark.read.parquet(stagedDir).schema
     val qname = "graft_sessions_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    // The state store allocates one state partition per shuffle
+    // partition PER MICRO-BATCH; at gate scale (150 users) 32
+    // partitions x 4 batches is pure task overhead, so the stream runs
+    // on a small explicit count (batch queries in the session are
+    // unaffected — the conf is restored after the stream terminates).
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
     val q = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1").parquet(stagedDir)
       .select(col(userCol).cast("long").as("user_id"),
@@ -146,6 +154,7 @@ object Sessionize {
       .writeStream.outputMode("update").format("memory").queryName(qname)
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     val w = Window.partitionBy(col("user_id")).orderBy(col("n_events").desc)
     val result = spark.table(qname)
       .withColumn("__rk", row_number().over(w))
