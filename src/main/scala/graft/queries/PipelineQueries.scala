@@ -272,6 +272,27 @@ object PipelineQueries {
       }
     },
 
+    // O50: bucketed interval join — every error event landing inside a
+    // +/-1 h window around the same user's purchases (overlapping
+    // intervals, so events match MULTIPLE windows — exercising
+    // many-to-many containment, not just disjoint sessions). The
+    // operator turns BETWEEN into an equi-join on (user, time bucket);
+    // DuckDB reproduces it with the naive BETWEEN join, row-exact.
+    "interval_join_check" -> { (s, dir) =>
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val windows = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          (col("ts") - expr("INTERVAL 1 HOUR")).as("w_start"),
+          (col("ts") + expr("INTERVAL 1 HOUR")).as("w_end"))
+      graft.pipeline.IntervalJoin.contained(
+          errors, windows, Seq("user_id"), "ts", "w_start", "w_end",
+          bucketSeconds = 3600L)
+        .select(col("event_id"), col("user_id"), col("purchase_id"))
+        .orderBy("event_id", "purchase_id")
+    },
+
     // O32: KLL-driven balanced range repartitioning — exact placement
     // (partition id == range id), all ranges populated and disjoint,
     // sizes within the sketch's rank-error bound of ideal, and no row
@@ -463,6 +484,13 @@ object PipelineQueries {
       "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx FROM f) "
 
   val oracleSql: Map[String, String] = Map(
+    "interval_join_check" ->
+      ("SELECT e.event_id, e.user_id, p.event_id AS purchase_id " +
+        "FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') e " +
+        "JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p " +
+        "ON e.user_id = p.user_id " +
+        "AND e.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts + INTERVAL 1 HOUR " +
+        "ORDER BY e.event_id, p.event_id"),
     "events_sessionize" ->
       (sessionCte +
         "SELECT user_id, session_idx, MIN(ts) AS session_start, MAX(ts) AS session_end, " +
