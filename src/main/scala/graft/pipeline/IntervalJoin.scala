@@ -51,4 +51,40 @@ object IntervalJoin {
       .filter(col(tsCol) >= col(startCol) && col(tsCol) <= col(endCol))
       .drop("__b")
   }
+
+  /** Interval-overlap join: pairs of interval rows (same equi-keys) whose
+    * [start, end] ranges intersect, inclusively — campaign windows x
+    * outage windows, session x session. Same bucket routing as
+    * `contained`, with the interval-pair twist: an overlapping pair
+    * shares EVERY bucket of the intersection, so naive bucket-join
+    * duplicates it once per shared bucket. Instead of a `distinct`
+    * (a second shuffle over the full result), each pair is emitted only
+    * in the bucket containing `greatest(start_l, start_r)` — the
+    * intersection's first instant, which by the overlap predicate lies
+    * inside BOTH intervals, so both sides are guaranteed to have
+    * exploded into that bucket, and it is unique per pair. Exactly-once
+    * by construction, zero dedup cost.
+    *
+    * Inputs must disambiguate non-key column names; inverted intervals
+    * (end < start) are dropped on both sides; overlap is inclusive
+    * (end_l == start_r touches => matches).
+    */
+  def overlap(left: DataFrame, right: DataFrame, keys: Seq[String],
+              lStart: String, lEnd: String, rStart: String, rEnd: String,
+              bucketSeconds: Long): DataFrame = {
+    require(bucketSeconds > 0, "bucketSeconds must be positive")
+    val w = bucketSeconds * 1000000L
+    def explodeBuckets(df: DataFrame, s: String, e: String): DataFrame =
+      df.filter(col(e) >= col(s))
+        .withColumn("__b", explode(sequence(
+          floor(Sessionize.micros(col(s)) / w),
+          floor(Sessionize.micros(col(e)) / w))))
+    val lb = explodeBuckets(left, lStart, lEnd)
+    val rb = explodeBuckets(right, rStart, rEnd)
+    lb.join(rb, keys :+ "__b")
+      .filter(col(lStart) <= col(rEnd) && col(rStart) <= col(lEnd))
+      .filter(col("__b") ===
+        floor(Sessionize.micros(greatest(col(lStart), col(rStart))) / w))
+      .drop("__b")
+  }
 }

@@ -293,6 +293,29 @@ object PipelineQueries {
         .orderBy("event_id", "purchase_id")
     },
 
+    // O50 overlap form: interval x interval — purchase windows (+/-1 h)
+    // against error windows (+/-30 min) on the same user. A pair shares
+    // every bucket of its intersection, so the operator routes each
+    // pair to the single bucket holding greatest(start_l, start_r) —
+    // exactly-once with no distinct. DuckDB reproduces it with the
+    // naive overlap join, row-exact.
+    "interval_overlap_check" -> { (s, dir) =>
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          (col("ts") - expr("INTERVAL 1 HOUR")).as("p_start"),
+          (col("ts") + expr("INTERVAL 1 HOUR")).as("p_end"))
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("event_id").as("error_id"),
+          (col("ts") - expr("INTERVAL 30 MINUTE")).as("e_start"),
+          (col("ts") + expr("INTERVAL 30 MINUTE")).as("e_end"))
+      graft.pipeline.IntervalJoin.overlap(
+          purchases, errors, Seq("user_id"),
+          "p_start", "p_end", "e_start", "e_end", bucketSeconds = 3600L)
+        .select(col("purchase_id"), col("error_id"), col("user_id"))
+        .orderBy("purchase_id", "error_id")
+    },
+
     // O32: KLL-driven balanced range repartitioning — exact placement
     // (partition id == range id), all ranges populated and disjoint,
     // sizes within the sketch's rank-error bound of ideal, and no row
@@ -491,6 +514,14 @@ object PipelineQueries {
         "ON e.user_id = p.user_id " +
         "AND e.ts BETWEEN p.ts - INTERVAL 1 HOUR AND p.ts + INTERVAL 1 HOUR " +
         "ORDER BY e.event_id, p.event_id"),
+    "interval_overlap_check" ->
+      ("SELECT p.event_id AS purchase_id, e.event_id AS error_id, p.user_id " +
+        "FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p " +
+        "JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') e " +
+        "ON p.user_id = e.user_id " +
+        "AND p.ts - INTERVAL 1 HOUR <= e.ts + INTERVAL 30 MINUTE " +
+        "AND e.ts - INTERVAL 30 MINUTE <= p.ts + INTERVAL 1 HOUR " +
+        "ORDER BY purchase_id, error_id"),
     "events_sessionize" ->
       (sessionCte +
         "SELECT user_id, session_idx, MIN(ts) AS session_start, MAX(ts) AS session_end, " +
