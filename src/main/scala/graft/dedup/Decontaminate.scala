@@ -1,0 +1,64 @@
+package graft.dedup
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination: find corpus documents that share at least
+  * one exact n-token shingle with any document of a (small) benchmark /
+  * eval set — the standard train-test contamination sweep a training-
+  * data pipeline runs before every corpus release.
+  *
+  * Shape: contamination is an EQUI-join on the shingle string. The
+  * benchmark side is tiny by definition (eval sets are thousands of
+  * docs, the corpus is billions), so its distinct shingle set is
+  * broadcast; corpus shingling is map-side (tokenize -> sliding window
+  * -> per-doc distinct); the only shuffle is the pair-count groupBy,
+  * bounded by the number of (contaminated doc, benchmark doc, shared
+  * shingle) triples — i.e. by actual contamination, not corpus size.
+  * At 100 TB the broadcast carries the shingle strings themselves; if
+  * the benchmark's shingle set outgrows the broadcast budget, probe
+  * corpus shingles through an EBF of the benchmark shingles first
+  * (`ebf_might_contain`) and equi-join only the survivors — same
+  * two-tier pattern as the sharded join-prune rule.
+  *
+  * Tokenization: lowercase, split on runs of whitespace (after trim);
+  * documents shorter than n tokens produce no shingles. Shingles are
+  * DISTINCT per document, so `n_shared` counts distinct shared
+  * shingles and `n_shared == n_bench_shingles` means the benchmark
+  * doc's shingle set is fully contained in the corpus doc — a graded
+  * contamination score falls out as n_shared / n_bench_shingles.
+  */
+object Decontaminate {
+
+  /** Distinct n-token shingles per document: (idCol, shingle). */
+  def shingleSet(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    require(n >= 1, "shingle size must be positive")
+    df.select(col(idCol), split(lower(trim(col(textCol))), "\\s+").as("__toks"))
+      .filter(size(col("__toks")) >= n)
+      // sequence(1, size-n+1) is always ascending here (guarded by the
+      // size filter — Spark's sequence(1, 0) would run DESCENDING)
+      .select(col(idCol), explode(expr(
+        s"transform(sequence(1, size(__toks) - ${n - 1}), i -> concat_ws(' ', slice(__toks, i, $n)))"))
+        .as("shingle"))
+      .distinct()
+  }
+
+  /** Contaminated (corpus doc, benchmark doc) pairs with shared-shingle
+    * counts: (corpusId, benchId, n_shared, n_bench_shingles). A corpus
+    * doc appears once per benchmark doc it shares >= 1 shingle with.
+    * Column names of the two id columns must differ. */
+  def contaminatedPairs(corpus: DataFrame, corpusId: String,
+                        benchmark: DataFrame, benchId: String,
+                        textCol: String, n: Int): DataFrame = {
+    require(corpusId != benchId,
+      s"corpus and benchmark id columns must differ (both '$corpusId')")
+    val cs = shingleSet(corpus, corpusId, textCol, n)
+    val bs = shingleSet(benchmark, benchId, textCol, n)
+    val bTot = bs.groupBy(benchId).agg(count(lit(1)).as("n_bench_shingles"))
+    cs.join(broadcast(bs), "shingle")
+      .groupBy(corpusId, benchId)
+      .agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(bTot), benchId)
+      .select(col(corpusId), col(benchId), col("n_shared"), col("n_bench_shingles"))
+  }
+}
