@@ -61,4 +61,33 @@ object Decontaminate {
       .join(broadcast(bTot), benchId)
       .select(col(corpusId), col(benchId), col("n_shared"), col("n_bench_shingles"))
   }
+
+  /** The 100 TB form: identical result to [[contaminatedPairs]], with
+    * the corpus shingle stream pre-filtered through an EBF of the
+    * benchmark shingles BEFORE the join (map-only, inside codegen —
+    * [[graft.pipeline.JoinPrune]]). Exactness is inherited from the
+    * EBF's no-false-negative guarantee: no shared shingle can be
+    * dropped, and a false positive only lets a doomed shingle reach
+    * the exact string equi-join, where it dies as before. Use when the
+    * benchmark shingle STRINGS outgrow the broadcast budget: the
+    * sketch is ~16 bytes/shingle instead of the full text, and the
+    * surviving corpus shingles are a contamination-sized trickle, so
+    * the join's fact side shrinks from |corpus shingles| to roughly
+    * |contaminated shingles| / (1 - fpr). */
+  def contaminatedPairsViaEbf(corpus: DataFrame, corpusId: String,
+                              benchmark: DataFrame, benchId: String,
+                              textCol: String, n: Int): DataFrame = {
+    require(corpusId != benchId,
+      s"corpus and benchmark id columns must differ (both '$corpusId')")
+    val cs = shingleSet(corpus, corpusId, textCol, n)
+    val bs = shingleSet(benchmark, benchId, textCol, n)
+    val pruned = graft.pipeline.JoinPrune.prunedFact(
+      cs, cs("shingle"), graft.pipeline.JoinPrune.buildFilter(bs, bs("shingle")))
+    val bTot = bs.groupBy(benchId).agg(count(lit(1)).as("n_bench_shingles"))
+    pruned.join(broadcast(bs), "shingle")
+      .groupBy(corpusId, benchId)
+      .agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(bTot), benchId)
+      .select(col(corpusId), col(benchId), col("n_shared"), col("n_bench_shingles"))
+  }
 }

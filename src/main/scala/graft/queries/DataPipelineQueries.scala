@@ -229,6 +229,27 @@ object DataPipelineQueries {
         .orderBy("doc_id", "bench_id")
     },
 
+    // O51 scale path, same oracle: the corpus shingle stream is
+    // pre-filtered through an EBF of the benchmark shingles (map-only,
+    // JoinPrune) before the exact join. No false negatives -> the
+    // result must be IDENTICAL to decontamination_check, and the
+    // oracle is literally the same SQL.
+    "decontamination_ebf_check" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val toks = split(lower(trim(col("text"))), "\\s+")
+      val bench = d.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("bench_id"),
+          concat_ws(" ", slice(toks, 11, 30)).as("text"))
+      val planted = d.join(bench.withColumnRenamed("text", "__btext"),
+          col("doc_id") === col("bench_id") + 1)
+        .select((col("doc_id") + 3000000L).as("doc_id"),
+          concat(col("text"), lit(" "), col("__btext")).as("text"))
+      val corpus = d.select("doc_id", "text").unionByName(planted)
+      graft.dedup.Decontaminate.contaminatedPairsViaEbf(
+          corpus, "doc_id", bench, "bench_id", "text", n = 8)
+        .orderBy("doc_id", "bench_id")
+    },
+
     // ------------------------------------------------------ sampling
     // deterministic, engine-portable corpus subsampling: membership =
     // md5(key) prefix compare — reproducible across runs, engines and
@@ -536,6 +557,28 @@ object DataPipelineQueries {
     },
   )
 
+  /** Shared oracle for both decontamination gate queries (the plain
+    * and EBF-prefiltered paths must return identical rows): DuckDB
+    * reproduces the snippet-benchmark construction, the id+3M planted
+    * contamination, and the distinct-shingle pair counts. */
+  private val decontaminationSql: String =
+    "WITH bsrc AS (SELECT doc_id AS bench_id, " +
+      "array_to_string(string_split_regex(lower(trim(text)), '\\s+')[11:40], ' ') AS text " +
+      "FROM documents WHERE doc_id % 97 = 0), " +
+      "planted AS (SELECT d.doc_id + 3000000 AS doc_id, d.text || ' ' || b.text AS text " +
+      "FROM documents d JOIN bsrc b ON d.doc_id = b.bench_id + 1), " +
+      "corpus AS (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id, text FROM planted), " +
+      "bt AS (SELECT bench_id, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM bsrc), " +
+      "bs AS (SELECT DISTINCT bench_id, array_to_string(toks[i:i+7], ' ') AS shingle " +
+      "FROM bt, UNNEST(generate_series(1, len(toks)-7)) AS t(i) WHERE len(toks) >= 8), " +
+      "btot AS (SELECT bench_id, COUNT(*) AS n_bench_shingles FROM bs GROUP BY 1), " +
+      "ct AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM corpus), " +
+      "cs AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+7], ' ') AS shingle " +
+      "FROM ct, UNNEST(generate_series(1, len(toks)-7)) AS t(i) WHERE len(toks) >= 8), " +
+      "p AS (SELECT doc_id, bench_id, COUNT(*) AS n_shared FROM cs JOIN bs USING (shingle) GROUP BY 1,2) " +
+      "SELECT p.doc_id, p.bench_id, p.n_shared, btot.n_bench_shingles " +
+      "FROM p JOIN btot USING (bench_id) ORDER BY doc_id, bench_id"
+
   val oracleSql: Map[String, String] = Map(
     "dedup_exact" ->
       ("SELECT md5(text) AS text_hash, MIN(doc_id) AS keeper_id, COUNT(*) AS dup_count " +
@@ -566,23 +609,9 @@ object DataPipelineQueries {
         "(SELECT doc_id, text FROM documents " +
         " UNION ALL SELECT doc_id + 2000000, text FROM documents) " +
         "GROUP BY md5(text)) ORDER BY doc_id"),
-    "decontamination_check" ->
-      ("WITH bsrc AS (SELECT doc_id AS bench_id, " +
-        "array_to_string(string_split_regex(lower(trim(text)), '\\s+')[11:40], ' ') AS text " +
-        "FROM documents WHERE doc_id % 97 = 0), " +
-        "planted AS (SELECT d.doc_id + 3000000 AS doc_id, d.text || ' ' || b.text AS text " +
-        "FROM documents d JOIN bsrc b ON d.doc_id = b.bench_id + 1), " +
-        "corpus AS (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id, text FROM planted), " +
-        "bt AS (SELECT bench_id, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM bsrc), " +
-        "bs AS (SELECT DISTINCT bench_id, array_to_string(toks[i:i+7], ' ') AS shingle " +
-        "FROM bt, UNNEST(generate_series(1, len(toks)-7)) AS t(i) WHERE len(toks) >= 8), " +
-        "btot AS (SELECT bench_id, COUNT(*) AS n_bench_shingles FROM bs GROUP BY 1), " +
-        "ct AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks FROM corpus), " +
-        "cs AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+7], ' ') AS shingle " +
-        "FROM ct, UNNEST(generate_series(1, len(toks)-7)) AS t(i) WHERE len(toks) >= 8), " +
-        "p AS (SELECT doc_id, bench_id, COUNT(*) AS n_shared FROM cs JOIN bs USING (shingle) GROUP BY 1,2) " +
-        "SELECT p.doc_id, p.bench_id, p.n_shared, btot.n_bench_shingles " +
-        "FROM p JOIN btot USING (bench_id) ORDER BY doc_id, bench_id"),
+    "decontamination_check" -> decontaminationSql,
+    // the EBF-prefiltered path must produce the IDENTICAL result
+    "decontamination_ebf_check" -> decontaminationSql,
     "sample_deterministic" ->
       ("SELECT doc_id FROM documents " +
         "WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '28f5' ORDER BY doc_id"),

@@ -66,6 +66,21 @@ class DecontaminateSpec extends AnyFunSuite {
     assert(got === Map((1L, 2L) -> (1L, 3L))) // 1 of 3 shared
   }
 
+  test("EBF-prefiltered path returns byte-identical pairs to the plain path") {
+    val corpus = df(Seq(
+      (10L, "the quick brown fox jumps over the lazy dog tonight"),
+      (11L, "completely unrelated words with zero overlap here indeed"),
+      (12L, "prefix filler then quick brown fox jumps inside this doc")),
+      "doc_id")
+    val bench = df(Seq((100L, "quick brown fox jumps"), (101L, "zero overlap here indeed")), "bench_id")
+    val plain = Decontaminate.contaminatedPairs(corpus, "doc_id", bench, "bench_id", "text", 3)
+      .collect().map(_.toString).sorted
+    val viaEbf = Decontaminate.contaminatedPairsViaEbf(corpus, "doc_id", bench, "bench_id", "text", 3)
+      .collect().map(_.toString).sorted
+    assert(viaEbf === plain)
+    assert(plain.nonEmpty)
+  }
+
   test("no match below shingle length, exact-n match at the boundary") {
     val corpus = df(Seq((1L, "p q r s")), "doc_id")
     val benchShort = df(Seq((2L, "q r s")), "bench_id")      // 3 < n -> no shingles
