@@ -162,6 +162,7 @@ object Graft {
     r.register("token_count", (text: String) => TextFunctions.tokenCount(text))
     r.register("bpe_token_count", (text: String) => TextFunctions.bpeishTokenCount(text))
     r.register("doc_fingerprint", (text: String) => TextFunctions.fingerprint(text))
+    r.register("top_ngram_count", (text: String, n: Int) => TextFunctions.topNgramCount(text, n))
     r.register("simhash64", (text: String) => TextFunctions.simhash(text))
     r.register("hamming64", (a: Long, b: Long) => java.lang.Long.bitCount(a ^ b))
   }

@@ -182,6 +182,32 @@ object TextFunctions {
     count
   }
 
+  /** Occurrence count of the single most frequent n-token gram in the
+    * document — the Gopher-style repetition quality signal: the
+    * fraction topNgramCount / (tokens - n + 1) flags boilerplate and
+    * degenerate repetition (nav bars, keyword stuffing, generation
+    * loops). Tokenization matches the shingle/decontamination kernels:
+    * trim, lowercase, split on whitespace runs; texts shorter than n
+    * tokens score 0. Per-row and allocation-bounded by the doc's own
+    * distinct n-grams — no shuffle, no cross-row state. */
+  def topNgramCount(text: String, n: Int): Int = {
+    if (text == null || n < 1) return 0
+    val toks = text.trim.toLowerCase.split("\\s+")
+    if (toks.length < n) return 0
+    val m = new java.util.HashMap[String, Integer]()
+    var max = 0
+    var i = 0
+    while (i <= toks.length - n) {
+      val sb = new java.lang.StringBuilder(toks(i))
+      var j = 1
+      while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+      val c = m.merge(sb.toString, 1, (a, b) => a + b)
+      if (c > max) max = c
+      i += 1
+    }
+    max
+  }
+
   // -------------------------------------------------- fingerprinting
 
   /** 64-bit rolling polynomial fingerprint of the text (content hash for

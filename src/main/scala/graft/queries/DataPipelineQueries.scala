@@ -499,6 +499,27 @@ object DataPipelineQueries {
         .orderBy("doc_id")
     },
 
+    // O52: repetition quality signal (the Gopher-style boilerplate
+    // rule) — occurrence count of the most frequent bi-/trigram per
+    // doc, oracle-EXACT: DuckDB recomputes the mode from scratch via
+    // unnest+groupby. Every 101st doc gets a repeated phrase appended
+    // so the signal demonstrably FIRES (top_bigram_count >= 4), not
+    // just reads 1-2 on random text. Counts are integers -> hash-safe;
+    // the ratio (top / n_bigrams) is left to the caller.
+    "text_repetition_check" -> { (s, dir) =>
+      Graft.ensure(s)
+      val d = docs(s, dir).select(col("doc_id"),
+        when(col("doc_id") % 101 === 0,
+            concat(col("text"), lit(" click here click here click here click here")))
+          .otherwise(col("text")).as("text"))
+      d.select(col("doc_id"),
+          expr("cast(top_ngram_count(text, 2) as bigint)").as("top_bigram_count"),
+          greatest(size(split(lower(trim(col("text"))), "\\s+")) - 1, lit(0))
+            .cast("long").as("n_bigrams"),
+          expr("cast(top_ngram_count(text, 3) as bigint)").as("top_trigram_count"))
+        .orderBy("doc_id")
+    },
+
     // token-budget corpus selection, the sketch-native way: the quality
     // cutoff that captures ~half the corpus's token mass is the
     // weighted median of quality weighted by token count — ONE
@@ -612,6 +633,22 @@ object DataPipelineQueries {
     "decontamination_check" -> decontaminationSql,
     // the EBF-prefiltered path must produce the IDENTICAL result
     "decontamination_ebf_check" -> decontaminationSql,
+    "text_repetition_check" ->
+      ("WITH t AS (SELECT doc_id, string_split_regex(lower(trim(" +
+        "CASE WHEN doc_id % 101 = 0 THEN text || ' click here click here click here click here' " +
+        "ELSE text END)), '\\s+') AS toks FROM documents), " +
+        "g2 AS (SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS g " +
+        "FROM t, UNNEST(generate_series(1, len(toks)-1)) AS u(i) WHERE len(toks) >= 2), " +
+        "c2 AS (SELECT doc_id, MAX(c) AS top_bigram_count FROM " +
+        "(SELECT doc_id, g, COUNT(*) AS c FROM g2 GROUP BY 1,2) GROUP BY 1), " +
+        "g3 AS (SELECT doc_id, array_to_string(toks[i:i+2], ' ') AS g " +
+        "FROM t, UNNEST(generate_series(1, len(toks)-2)) AS u(i) WHERE len(toks) >= 3), " +
+        "c3 AS (SELECT doc_id, MAX(c) AS top_trigram_count FROM " +
+        "(SELECT doc_id, g, COUNT(*) AS c FROM g3 GROUP BY 1,2) GROUP BY 1) " +
+        "SELECT t.doc_id, COALESCE(c2.top_bigram_count, 0) AS top_bigram_count, " +
+        "GREATEST(len(t.toks)-1, 0) AS n_bigrams, " +
+        "COALESCE(c3.top_trigram_count, 0) AS top_trigram_count " +
+        "FROM t LEFT JOIN c2 USING (doc_id) LEFT JOIN c3 USING (doc_id) ORDER BY doc_id"),
     "sample_deterministic" ->
       ("SELECT doc_id FROM documents " +
         "WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '28f5' ORDER BY doc_id"),

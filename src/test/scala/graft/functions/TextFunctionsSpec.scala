@@ -95,6 +95,17 @@ class TextFunctionsSpec extends AnyFunSuite {
     assert(langId("zzz qqq xxx") === "und")
   }
 
+  test("topNgramCount: repetition counted, short/empty texts score 0, normalization") {
+    assert(topNgramCount("click here click here click here", 2) === 3) // "click here" x3
+    assert(topNgramCount("click here click here click here", 3) === 2) // "here click here" x2
+    assert(topNgramCount("a b c d", 2) === 1)       // all grams unique
+    assert(topNgramCount("a a a a", 1) === 4)       // unigram mode
+    assert(topNgramCount("a b", 3) === 0)           // shorter than n
+    assert(topNgramCount("", 2) === 0)
+    assert(topNgramCount(null, 2) === 0)
+    assert(topNgramCount("  A  b   a B ", 2) === 2) // case + whitespace runs fold
+  }
+
   test("qualityScore: clean prose beats garbage; bounded in [0,1]") {
     val clean = (0 until 80).map(i => s"word${i % 30}").mkString(" ")
     val garbage = "!!! ??? ### $$$ %%% ^^^ &&& *** ((( )))"
