@@ -520,6 +520,32 @@ object DataPipelineQueries {
         .orderBy("doc_id")
     },
 
+    // O53: PII scan + redaction — entirely built-in codegen'd regex
+    // functions (no UDF anywhere): per-doc email / SSN-shaped-id
+    // counts and the md5 of the redacted text. Patterns chosen to
+    // mean the same thing in Java regex and RE2 (no alternation, so
+    // leftmost-greedy == leftmost-longest). Every 103rd doc gets
+    // planted PII; clean synthetic text contains none, and the oracle
+    // recomputes counts AND the redacted hash — so the redaction
+    // byte-stream itself is cross-engine verified.
+    "pii_scan_check" -> { (s, dir) =>
+      val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+      val ssn = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
+      val d = docs(s, dir).select(col("doc_id"),
+        when(col("doc_id") % 103 === 0,
+            concat(col("text"), lit(" reach me at user"), col("doc_id").cast("string"),
+              lit("@example.com or 123-45-6789 thanks")))
+          .otherwise(col("text")).as("text"))
+      d.select(col("doc_id"),
+          size(regexp_extract_all(col("text"), lit(email), lit(0)))
+            .cast("long").as("n_emails"),
+          size(regexp_extract_all(col("text"), lit(ssn), lit(0)))
+            .cast("long").as("n_ssn"),
+          md5(regexp_replace(regexp_replace(col("text"), email, "<EMAIL>"),
+            ssn, "<ID>")).as("redacted_hash"))
+        .orderBy("doc_id")
+    },
+
     // token-budget corpus selection, the sketch-native way: the quality
     // cutoff that captures ~half the corpus's token mass is the
     // weighted median of quality weighted by token count — ONE
@@ -649,6 +675,16 @@ object DataPipelineQueries {
         "GREATEST(len(t.toks)-1, 0) AS n_bigrams, " +
         "COALESCE(c3.top_trigram_count, 0) AS top_trigram_count " +
         "FROM t LEFT JOIN c2 USING (doc_id) LEFT JOIN c3 USING (doc_id) ORDER BY doc_id"),
+    "pii_scan_check" ->
+      ("WITH d AS (SELECT doc_id, CASE WHEN doc_id % 103 = 0 " +
+        "THEN text || ' reach me at user' || CAST(doc_id AS VARCHAR) || '@example.com or 123-45-6789 thanks' " +
+        "ELSE text END AS text FROM documents) " +
+        "SELECT doc_id, " +
+        "len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}')) AS n_emails, " +
+        "len(regexp_extract_all(text, '\\b\\d{3}-\\d{2}-\\d{4}\\b')) AS n_ssn, " +
+        "md5(regexp_replace(regexp_replace(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '<EMAIL>', 'g'), " +
+        "'\\b\\d{3}-\\d{2}-\\d{4}\\b', '<ID>', 'g')) AS redacted_hash " +
+        "FROM d ORDER BY doc_id"),
     "sample_deterministic" ->
       ("SELECT doc_id FROM documents " +
         "WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) < '28f5' ORDER BY doc_id"),
