@@ -73,7 +73,14 @@ object Decontaminate {
     * sketch is ~16 bytes/shingle instead of the full text, and the
     * surviving corpus shingles are a contamination-sized trickle, so
     * the join's fact side shrinks from |corpus shingles| to roughly
-    * |contaminated shingles| / (1 - fpr). */
+    * |contaminated shingles| / (1 - fpr).
+    *
+    * Unlike the plain path, the exact join here carries NO broadcast
+    * hint: at the scale where this path matters, the benchmark shingle
+    * strings are exactly what does not fit a broadcast, while the
+    * pruned fact side is contamination-sized — AQE sees both runtime
+    * sizes and picks the join direction itself (usually broadcasting
+    * the pruned side), instead of a hint forcing the wrong one. */
   def contaminatedPairsViaEbf(corpus: DataFrame, corpusId: String,
                               benchmark: DataFrame, benchId: String,
                               textCol: String, n: Int): DataFrame = {
@@ -84,10 +91,10 @@ object Decontaminate {
     val pruned = graft.pipeline.JoinPrune.prunedFact(
       cs, cs("shingle"), graft.pipeline.JoinPrune.buildFilter(bs, bs("shingle")))
     val bTot = bs.groupBy(benchId).agg(count(lit(1)).as("n_bench_shingles"))
-    pruned.join(broadcast(bs), "shingle")
+    pruned.join(bs, "shingle")
       .groupBy(corpusId, benchId)
       .agg(count(lit(1)).as("n_shared"))
-      .join(broadcast(bTot), benchId)
+      .join(bTot, benchId)
       .select(col(corpusId), col(benchId), col("n_shared"), col("n_bench_shingles"))
   }
 }
