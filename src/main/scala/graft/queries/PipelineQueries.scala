@@ -38,6 +38,30 @@ object PipelineQueries {
         .orderBy("source")
     },
 
+    // O54 driver gate: the salted equi-join must produce EXACTLY the
+    // plain join's rows — DuckDB computes the plain lineitem x part
+    // join as the oracle. Hot detection is the sampled pre-pass;
+    // thresholds are set so the busiest partkeys classify hot even in
+    // TPC-H's mild key mix (estimated rows >= 30 at a 0.5 sample), so
+    // both the salted route and the salt-0 cold route carry rows at
+    // every SF. The hash-hash result is hot-set-independent anyway
+    // (spec-pinned): salting only changes row routing.
+    "salted_join_check" -> { (s, dir) =>
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_partkey").as("partkey"), col("l_orderkey"),
+          col("l_linenumber"), col("l_quantity"))
+      val pt = s.read.parquet(s"$dir/part.parquet")
+        .select(col("p_partkey").as("partkey"), col("p_brand"))
+      graft.pipeline.SaltedJoin.joinSkewed(li, pt, Seq("partkey"),
+          saltOn = col("l_orderkey") * lit(8) + col("l_linenumber"),
+          numSalts = 8, joinType = "inner",
+          hotRowThreshold = 30L, sampleFraction = 0.5)
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_li"),
+          round(sum(col("l_quantity")), 2).as("qty"))
+        .orderBy("p_brand")
+    },
+
     "ebf_shard_table_probe" -> { (s, dir) =>
       Graft.ensure(s)
       // the no-collect probe path: sketch table + broadcast join by shard
@@ -540,6 +564,10 @@ object PipelineQueries {
     "salted_vs_plain_equivalence" ->
       ("SELECT source, TRUE AS ebf_equal, TRUE AS hll_equal, TRUE AS cms_equal " +
         "FROM (SELECT DISTINCT source FROM documents) ORDER BY source"),
+    "salted_join_check" ->
+      ("SELECT p_brand, COUNT(*) AS n_li, ROUND(SUM(l_quantity), 2) AS qty " +
+        "FROM lineitem JOIN part ON l_partkey = p_partkey " +
+        "GROUP BY p_brand ORDER BY p_brand"),
     "extract_text_identity" ->
       "SELECT doc_id, TRUE AS identical FROM documents ORDER BY doc_id",
     "ebf_shard_table_probe" ->
