@@ -422,6 +422,33 @@ object SketchQueries {
         lit(t.retained == Theta.DefaultK).as("at_capacity"))
     },
 
+    // the composed analytical use of theta set algebra: day-over-day
+    // distinct-user retention — one theta sketch per day (30 rows),
+    // consecutive-day pairs by a self-join on the tiny daily frame,
+    // retained = |users(d) INTERSECT users(d+1)| from the sketches.
+    // Every observed day stays below k (1 356 max at sf0.1 vs k=2048),
+    // so the sketches retain every distinct hash and the intersection
+    // is VALUE-EXACT — DuckDB recomputes it from raw rows. At 100 TB
+    // the daily sketch table replaces an O(|users|) distinct self-join
+    // with a per-day mergeable 4KB state and a driver-free pair join.
+    "theta_retention_check" -> { (s, dir) =>
+      Graft.ensure(s)
+      val ev = events(s, dir).select(to_date(col("ts")).as("d"), col("user_id"))
+      val daily = ev.groupBy(col("d"))
+        .agg(expr("theta_agg(cast(user_id as string))").as("sk"),
+          countDistinct(col("user_id")).as("ndv"))
+      daily.as("x").join(daily.as("y"), col("y.d") === date_add(col("x.d"), 1))
+        .select(col("x.d").as("d"),
+          expr("theta_intersect_estimate(x.sk, y.sk)").as("retained"),
+          (col("x.ndv") < lit(Theta.DefaultK.toLong) &&
+            col("y.ndv") < lit(Theta.DefaultK.toLong)).as("exact_mode"))
+        // zero-overlap day pairs would be absent from the oracle's join
+        // but present in the pair frame; align row membership (never
+        // fires on this data — ~90% of users are active every day)
+        .filter(col("retained") > 0)
+        .orderBy("d")
+    },
+
     // merge path == one-shot build, byte-identical (the engine-wide
     // mergeability contract, through the SQL merge aggregator)
     "theta_merge_equivalence" -> { (s, dir) =>
@@ -501,5 +528,10 @@ object SketchQueries {
         "TRUE AS within_bound, TRUE AS at_capacity FROM lineitem"),
     "theta_merge_equivalence" ->
       "SELECT TRUE AS byte_identical",
+    "theta_retention_check" ->
+      ("WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events) " +
+        "SELECT a.d AS d, COUNT(*) AS retained, TRUE AS exact_mode " +
+        "FROM du a JOIN du b ON a.user_id = b.user_id AND b.d = a.d + 1 " +
+        "GROUP BY a.d ORDER BY d"),
   )
 }
