@@ -232,6 +232,41 @@ object SketchQueries {
         .orderBy("token")
     },
 
+    // O56: CMS heavy-change detection (Cormode-Muthukrishnan's "what's
+    // new" question): the tokens whose frequency moved most between two
+    // corpus halves, from TWO mergeable 230KB sketches instead of two
+    // full token-count tables — the drift monitor a recurring corpus
+    // release runs between snapshots. Row membership and the exact
+    // early/late/change columns come from the exact counts (DuckDB
+    // reproduces them); the sketch contributes est_change, gated within
+    // eps*(N_early+N_late) of the exact change (fixed seed, so the
+    // boolean is deterministic — either always true or always false).
+    "cms_heavy_change_check" -> { (s, dir) =>
+      Graft.ensure(s)
+      val d = docs(s, dir)
+      def skOf(h: Int): (String, Cms) = {
+        val bytes = d.filter(pmod(col("doc_id"), lit(2)) === h)
+          .select(expr("cms_tokens_agg(text)")).head.getAs[Array[Byte]](0)
+        (bytes.map(b => f"$b%02x").mkString, Cms.fromBytes(bytes))
+      }
+      val (hexA, cmsA) = skOf(0)
+      val (hexB, cmsB) = skOf(1)
+      val bound = cmsA.eps * cmsA.total + cmsB.eps * cmsB.total + 1.0
+      d.select(pmod(col("doc_id"), lit(2)).as("h"),
+          explode(split(col("text"), " ")).as("token"))
+        .filter(col("token") =!= "")
+        .groupBy(col("token")).agg(
+          sum(when(col("h") === 0, 1L).otherwise(0L)).as("early"),
+          sum(when(col("h") === 1, 1L).otherwise(0L)).as("late"))
+        .withColumn("change", abs(col("early") - col("late")))
+        .orderBy(desc("change"), asc("token")).limit(20)
+        .withColumn("est_change", abs(expr(s"cms_estimate(X'$hexB', token)") -
+          expr(s"cms_estimate(X'$hexA', token)")))
+        .select(col("token"), col("early"), col("late"), col("change"),
+          (abs(col("est_change") - col("change")) <= lit(bound)).as("est_within_bound"))
+        .orderBy(desc("change"), asc("token"))
+    },
+
     "cms_tokens_agg_equivalence" -> { (s, dir) =>
       Graft.ensure(s)
       // document-level tokenizing aggregator == exploded-row aggregator
@@ -528,6 +563,16 @@ object SketchQueries {
         "TRUE AS within_bound, TRUE AS at_capacity FROM lineitem"),
     "theta_merge_equivalence" ->
       "SELECT TRUE AS byte_identical",
+    "cms_heavy_change_check" ->
+      ("WITH toks AS (SELECT doc_id % 2 AS h, unnest(string_split(text, ' ')) AS token " +
+        "FROM documents), " +
+        "e AS (SELECT token, " +
+        "CAST(SUM(CASE WHEN h = 0 THEN 1 ELSE 0 END) AS BIGINT) AS early, " +
+        "CAST(SUM(CASE WHEN h = 1 THEN 1 ELSE 0 END) AS BIGINT) AS late " +
+        "FROM toks WHERE token <> '' GROUP BY token) " +
+        "SELECT token, early, late, ABS(early - late) AS change, " +
+        "TRUE AS est_within_bound " +
+        "FROM e ORDER BY change DESC, token ASC LIMIT 20"),
     "theta_retention_check" ->
       ("WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events) " +
         "SELECT a.d AS d, COUNT(*) AS retained, TRUE AS exact_mode " +
