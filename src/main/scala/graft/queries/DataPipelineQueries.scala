@@ -347,6 +347,57 @@ object DataPipelineQueries {
       } finally aug.unpersist(blocking = false)
     },
 
+    // O57: Frequent-Directions covariance sketch over the embedding
+    // corpus — the matrix member of the sketch tier (the streaming/
+    // mergeable answer to "top principal directions of 10^11 vectors";
+    // one 2*ell x d buffer per partition instead of a d^2 shuffle per
+    // group or a second pass). Gates: PSD order (the sketch never
+    // over-counts energy in any direction), spectral error within the
+    // published ||A||_F^2/ell bound, the same bound at a second
+    // partitioning (merge-tree independence — FD's merge is associative
+    // in the bound, deliberately not byte-stable), and exact
+    // frobSq/count bookkeeping. The exact Gram it is judged against is
+    // one VecSumAgg over codegen'd flattened outer products — d^2 work
+    // per row is inherent to the exact answer, which is why the sketch
+    // exists.
+    "fd_embedding_cov_check" -> { (s, dir) =>
+      import breeze.linalg.{eigSym, DenseMatrix}
+      val dim = 64
+      val ell = 16
+      val e = embeddings(s, dir).select(col("embedding").cast("array<double>").as("v"))
+      def fdOf(df: DataFrame): graft.core.Fd = graft.core.Fd.fromBytes(
+        df.agg(graft.plans.FdAggExpr.column(col("v"), ell, dim)).head.getAs[Array[Byte]](0))
+      val fd = fdOf(e)
+      val fdAlt = fdOf(e.repartition(7))
+      val g = e.withColumn("op",
+          expr("flatten(transform(v, x -> transform(v, y -> x * y)))"))
+        .agg(graft.plans.VecSumAgg.column(col("op"), dim * dim).as("g"))
+        .head.getSeq[Double](0)
+      val n = g.head.toLong
+      val exact = g.tail.toArray
+      val frobExact = (0 until dim).map(i => exact(i * dim + i)).sum
+      def eigRange(f: graft.core.Fd): (Double, Double) = {
+        val sk = f.gram
+        val m = new DenseMatrix[Double](dim, dim)
+        for (i <- 0 until dim; j <- 0 until dim)
+          m(i, j) = ((exact(i * dim + j) - sk(i * dim + j)) +
+            (exact(j * dim + i) - sk(j * dim + i))) / 2
+        val ev = eigSym(m).eigenvalues
+        (breeze.linalg.min(ev), breeze.linalg.max(ev))
+      }
+      val slack = 1e-6 * (1.0 + frobExact)
+      val (lo, hi) = eigRange(fd)
+      val (loAlt, hiAlt) = eigRange(fdAlt)
+      s.range(1).select(
+        lit(lo >= -slack).as("psd_order"),
+        lit(hi <= fd.errBound + slack).as("within_bound"),
+        lit(loAlt >= -slack && hiAlt <= fdAlt.errBound + slack)
+          .as("alt_partitioning_within_bound"),
+        lit(math.abs(fd.frobSq - frobExact) <= slack &&
+          fd.count == n && fdAlt.count == n).as("bookkeeping_exact"),
+        lit(n).as("n_vectors"))
+    },
+
     // --------------------------------------------------- similarity
     "ann_bruteforce_topk" -> { (s, dir) =>
       val e = embeddings(s, dir)
@@ -739,6 +790,10 @@ object DataPipelineQueries {
         "list_cosine_similarity(c.embedding, q.embedding) DESC, c.vec_id ASC) AS rank " +
         "FROM embeddings c CROSS JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5) q " +
         "WHERE c.vec_id <> q.vec_id) WHERE rank <= 10 ORDER BY query_id, rank"),
+    "fd_embedding_cov_check" ->
+      ("SELECT TRUE AS psd_order, TRUE AS within_bound, " +
+        "TRUE AS alt_partitioning_within_bound, TRUE AS bookkeeping_exact, " +
+        "CAST(COUNT(*) AS BIGINT) AS n_vectors FROM embeddings"),
     "text_stats" ->
       ("SELECT doc_id, length(text) AS text_chars, " +
         "array_length(string_split(text, ' ')) AS n_tokens " +
