@@ -550,6 +550,45 @@ object DataPipelineQueries {
         .orderBy("doc_id")
     },
 
+    // O58: unigram log-probability quality scoring (the CCNet-style LM
+    // signal): per doc, the mean over tokens of ln(p(token)) under the
+    // corpus's own unigram distribution — gibberish and boilerplate
+    // score low, fluent text high. TWO paths gated together:
+    //   exact  — token counts via groupBy, re-joined to the exploded
+    //            tokens (broadcastable: the vocab is Heaps-law small);
+    //            DuckDB reproduces the per-doc mean to 4 decimals;
+    //   sketch — the 100 TB form: NO join, every token probes a
+    //            broadcast CMS literal (X'..' -> the literal-sketch
+    //            rule, map-only inside codegen). CMS only ever
+    //            over-counts, so the sketch mean is >= the exact mean
+    //            per doc (cms_ge_exact), and it sits within the mean
+    //            per-token bound ln(1 + eps*N/c) (x1.5 slack for the
+    //            delta-probability tail over a 10^4 vocab; fixed seed
+    //            -> deterministic).
+    "unigram_logprob_check" -> { (s, dir) =>
+      Graft.ensure(s)
+      val d = docs(s, dir)
+      val skBytes = d.select(expr("cms_tokens_agg(text)")).head.getAs[Array[Byte]](0)
+      val hex = skBytes.map(b => f"$b%02x").mkString
+      val eps = graft.core.Cms.fromBytes(skBytes).eps
+      val toks = d.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+        .filter(col("token") =!= "")
+      val counts = toks.groupBy(col("token")).agg(count(lit(1)).as("c"))
+      val n = counts.agg(sum(col("c"))).head.getLong(0)
+      toks.join(broadcast(counts), "token")
+        .withColumn("est", expr(s"cms_estimate(X'$hex', token)"))
+        .groupBy(col("doc_id"))
+        .agg(avg(log(col("c") / lit(n.toDouble))).as("mlp"),
+          avg(log(col("est") / lit(n.toDouble))).as("mlp_cms"),
+          avg(log(lit(1.0) + lit(eps * n) / col("c"))).as("bound"))
+        .select(col("doc_id"),
+          round(col("mlp"), 4).as("mean_lp"),
+          (col("mlp_cms") >= col("mlp") - lit(1e-9)).as("cms_ge_exact"),
+          (col("mlp_cms") - col("mlp") <= col("bound") * 1.5 + lit(1e-9))
+            .as("cms_within_bound"))
+        .orderBy("doc_id")
+    },
+
     // O52: repetition quality signal (the Gopher-style boilerplate
     // rule) — occurrence count of the most frequent bi-/trigram per
     // doc, oracle-EXACT: DuckDB recomputes the mode from scratch via
@@ -790,6 +829,15 @@ object DataPipelineQueries {
         "list_cosine_similarity(c.embedding, q.embedding) DESC, c.vec_id ASC) AS rank " +
         "FROM embeddings c CROSS JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 5) q " +
         "WHERE c.vec_id <> q.vec_id) WHERE rank <= 10 ORDER BY query_id, rank"),
+    "unigram_logprob_check" ->
+      ("WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token " +
+        "FROM documents), " +
+        "tc AS (SELECT token, COUNT(*) AS c FROM toks WHERE token <> '' GROUP BY token), " +
+        "tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM tc) " +
+        "SELECT t.doc_id, ROUND(AVG(LN(tc.c / tot.n)), 4) AS mean_lp, " +
+        "TRUE AS cms_ge_exact, TRUE AS cms_within_bound " +
+        "FROM toks t JOIN tc USING (token) CROSS JOIN tot " +
+        "WHERE t.token <> '' GROUP BY t.doc_id ORDER BY t.doc_id"),
     "fd_embedding_cov_check" ->
       ("SELECT TRUE AS psd_order, TRUE AS within_bound, " +
         "TRUE AS alt_partitioning_within_bound, TRUE AS bookkeeping_exact, " +
