@@ -67,9 +67,12 @@ final class Fd private (val ell: Int, val dim: Int) extends Serializable {
     * Shrunk rows are valid FD input: the energy argument only needs
     * each buffered row to under-represent the original data, which
     * holds inductively. frobSq/count stay original-data quantities. */
-  def merge(o: Fd): Fd = {
-    require(o.dim == dim, s"dim mismatch: $dim vs ${o.dim}")
-    require(o.ell == ell, s"ell mismatch: $ell vs ${o.ell}")
+  def merge(other: Fd): Fd = {
+    require(other.dim == dim, s"dim mismatch: $dim vs ${other.dim}")
+    require(other.ell == ell, s"ell mismatch: $ell vs ${other.ell}")
+    // self-merge would read `buf` while compact() rewrites it (and the
+    // loop bound would grow with each append) — snapshot the source
+    val o = if (other eq this) Fd.fromBytes(other.toBytes) else other
     var r = 0
     while (r < o.nR) {
       if (nR == cap) compact()

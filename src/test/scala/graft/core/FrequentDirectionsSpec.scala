@@ -110,6 +110,16 @@ class FrequentDirectionsSpec extends AnyFunSuite {
     assert(java.util.Arrays.equals(back.toBytes, fd.toBytes))
   }
 
+  test("self-merge doubles the data instead of corrupting the buffer") {
+    val dim = 6
+    val rows = randRows(20, dim, 29)
+    val fd = Fd.empty(4, dim)
+    rows.foreach(fd.insert)
+    fd.merge(fd)
+    assert(fd.count == 40L)
+    checkGuarantee(fd, rows ++ rows, dim, "self-merge")
+  }
+
   test("bad magic and parameter validation are loud") {
     assertThrows[IllegalArgumentException](Fd.fromBytes(Array[Byte](1, 2, 3, 4, 0, 0, 0, 0)))
     assertThrows[IllegalArgumentException](Fd.empty(1, 4))
