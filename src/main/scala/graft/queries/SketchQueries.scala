@@ -484,6 +484,30 @@ object SketchQueries {
         .orderBy("d")
     },
 
+    // O59: sketches as WINDOW aggregates — rolling 7-day distinct
+    // users from the same per-day theta table O55 builds, merged over
+    // a sliding frame (`theta_merge_agg ... ROWS BETWEEN 6 PRECEDING
+    // AND CURRENT ROW`). The classic "rolling distinct" that exact SQL
+    // can only answer by re-scanning every window (the oracle below
+    // does exactly that, fanning each day out 7x): with mergeable
+    // states the input is one row per day regardless of corpus size,
+    // so the window costs O(days x frame) sketch merges — corpus scale
+    // only ever touches the groupBy that built the daily table.
+    // Value-exact below capacity (7-day union <= 1 500 users at sf0.1
+    // vs k = 2048).
+    "theta_rolling_ndv_check" -> { (s, dir) =>
+      Graft.ensure(s)
+      val daily = events(s, dir)
+        .select(to_date(col("ts")).as("d"), col("user_id"))
+        .groupBy(col("d"))
+        .agg(expr("theta_agg(cast(user_id as string))").as("sk"))
+      daily
+        .withColumn("w", expr(
+          "theta_merge_agg(sk) OVER (ORDER BY d ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)"))
+        .select(col("d"), expr("theta_estimate(w)").as("ndv_7d"))
+        .orderBy("d")
+    },
+
     // merge path == one-shot build, byte-identical (the engine-wide
     // mergeability contract, through the SQL merge aggregator)
     "theta_merge_equivalence" -> { (s, dir) =>
@@ -578,5 +602,11 @@ object SketchQueries {
         "SELECT a.d AS d, COUNT(*) AS retained, TRUE AS exact_mode " +
         "FROM du a JOIN du b ON a.user_id = b.user_id AND b.d = a.d + 1 " +
         "GROUP BY a.d ORDER BY d"),
+    "theta_rolling_ndv_check" ->
+      ("WITH du AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events), " +
+        "days AS (SELECT DISTINCT d FROM du) " +
+        "SELECT a.d AS d, COUNT(DISTINCT b.user_id) AS ndv_7d " +
+        "FROM days a JOIN du b ON b.d BETWEEN a.d - 6 AND a.d " +
+        "GROUP BY a.d ORDER BY a.d"),
   )
 }
