@@ -94,6 +94,21 @@ object RelationalQueries {
         .orderBy("returnflag", "linestatus")
     },
 
+    // cube: the rollup's power-set twin — all four grouping sets
+    // (priority x status, each alone, grand total); same NULL->'ALL'
+    // coalescing for engine-independent ordering
+    "rel_cube_orders" -> { (s, dir) =>
+      t(s, dir, "orders")
+        .cube(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(col("o_totalprice")), 2).as("total"))
+        .select(
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          col("n_orders"), col("total"))
+        .orderBy("priority", "status")
+    },
+
     // pivot: order counts per priority x status, statuses as columns
     // (Spark .pivot with an explicit value list; missing cells 0)
     "rel_pivot_orders" -> { (s, dir) =>
@@ -142,6 +157,12 @@ object RelationalQueries {
         "SUM(l_quantity) AS sum_qty, COUNT(*) AS n_rows " +
         "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) " +
         "ORDER BY returnflag, linestatus"),
+    "rel_cube_orders" ->
+      ("SELECT COALESCE(o_orderpriority, 'ALL') AS priority, " +
+        "COALESCE(o_orderstatus, 'ALL') AS status, " +
+        "COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS total " +
+        "FROM orders GROUP BY CUBE(o_orderpriority, o_orderstatus) " +
+        "ORDER BY priority, status"),
     "rel_pivot_orders" ->
       ("SELECT o_orderpriority, " +
         "CAST(COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS BIGINT) AS \"O\", " +
