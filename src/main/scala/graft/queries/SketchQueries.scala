@@ -344,6 +344,44 @@ object SketchQueries {
       }.toDF("q", "within_bound").orderBy("q")
     },
 
+    // O60: distribution drift between two corpus snapshots — the
+    // numeric twin of cms_heavy_change_check: Kolmogorov-Smirnov
+    // distance between the doc-length distributions of the two halves,
+    // estimated from two mergeable KLL sketches (at 100 TB: two 1KB
+    // states instead of two sorted scans) and judged against the exact
+    // KS computed from the full CDFs. The sketch ranks are probed on
+    // the same distinct-value grid via X'..' literals — map-only, no
+    // driver loop; |KS_est - KS_exact| <= max-rank-error of each
+    // sketch, with the suite's 2x deterministic-compaction margin.
+    "kll_drift_check" -> { (s, dir) =>
+      Graft.ensure(s)
+      val d = docs(s, dir).select(pmod(col("doc_id"), lit(2)).as("h"),
+        col("n_chars").cast("double").as("v"))
+      def skOf(h: Int): Kll = Kll.fromBytes(d.filter(col("h") === h)
+        .select(expr("kll_agg(v)")).head.getAs[Array[Byte]](0))
+      val (a, b) = (skOf(0), skOf(1))
+      def hexOf(k: Kll): String = k.toBytes.map(x => f"$x%02x").mkString
+      val (hexA, hexB) = (hexOf(a), hexOf(b))
+      val steps = d.groupBy(col("v")).agg(
+        sum(when(col("h") === 0, 1L).otherwise(0L)).as("c0"),
+        sum(when(col("h") === 1, 1L).otherwise(0L)).as("c1"))
+      val tot = steps.agg(sum(col("c0")), sum(col("c1"))).head
+      val (n0, n1) = (tot.getLong(0).toDouble, tot.getLong(1).toDouble)
+      val w = org.apache.spark.sql.expressions.Window.orderBy("v")
+      val r = steps.select(col("v"),
+          (sum(col("c0")).over(w) / lit(n0)).as("f0"),
+          (sum(col("c1")).over(w) / lit(n1)).as("f1"),
+          expr(s"kll_rank(X'$hexA', v)").as("ra"),
+          expr(s"kll_rank(X'$hexB', v)").as("rb"))
+        .agg(max(abs(col("f0") - col("f1"))).as("ks_exact"),
+          max(abs(col("ra") - col("rb"))).as("ks_est"))
+        .head
+      val bound = (a.normalizedRankError + b.normalizedRankError) * 2.0
+      s.range(1).select(
+        lit(math.rint(r.getDouble(0) * 10000) / 10000).as("ks_exact"),
+        lit(math.abs(r.getDouble(1) - r.getDouble(0)) <= bound).as("kll_within_bound"))
+    },
+
     "kll_ts_quantiles" -> { (s, dir) =>
       Graft.ensure(s)
       // events.ts is TIMESTAMP_NTZ in the driver parquet; session is UTC
@@ -565,6 +603,15 @@ object SketchQueries {
       "SELECT token, COUNT(*) AS cnt FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents WHERE text <> '') GROUP BY token HAVING token <> '' ORDER BY cnt DESC, token ASC LIMIT 20",
     "kll_rank_bound_check" ->
       "SELECT CAST(q AS DOUBLE) AS q, TRUE AS within_bound FROM (VALUES (0.1),(0.25),(0.5),(0.75),(0.9)) t(q) ORDER BY q",
+    "kll_drift_check" ->
+      ("WITH v AS (SELECT CAST(n_chars AS DOUBLE) AS v, doc_id % 2 AS h FROM documents), " +
+        "tot AS (SELECT CAST(SUM(CASE WHEN h = 0 THEN 1 ELSE 0 END) AS DOUBLE) AS n0, " +
+        "CAST(SUM(CASE WHEN h = 1 THEN 1 ELSE 0 END) AS DOUBLE) AS n1 FROM v), " +
+        "c AS (SELECT v, SUM(CASE WHEN h = 0 THEN 1 ELSE 0 END) AS c0, " +
+        "SUM(CASE WHEN h = 1 THEN 1 ELSE 0 END) AS c1 FROM v GROUP BY v), " +
+        "s AS (SELECT v, SUM(c0) OVER (ORDER BY v) AS s0, SUM(c1) OVER (ORDER BY v) AS s1 FROM c) " +
+        "SELECT ROUND(MAX(ABS(s0 / tot.n0 - s1 / tot.n1)), 4) AS ks_exact, " +
+        "TRUE AS kll_within_bound FROM s CROSS JOIN tot"),
     "kll_ts_quantiles_check" ->
       "SELECT CAST(q AS DOUBLE) AS q, TRUE AS within_bound FROM (VALUES (0.1),(0.5),(0.9)) t(q) ORDER BY q",
     "tdigest_bound_check" ->
