@@ -1,0 +1,85 @@
+package graft.pipeline
+
+import graft.functions.Graft
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** File-level data skipping: a sketch sidecar over a parquet dataset.
+  *
+  * The missing piece between "sketches as query answers" and "sketches
+  * as infrastructure": one sidecar row per data file carrying the
+  * file's row count, key min/max, and an EBF over its keys — the same
+  * role as parquet zone maps + Delta/Iceberg bloom indexes, but as a
+  * first-class table the engine's own aggregators build in one
+  * distributed pass (`groupBy(input_file_name())`).
+  *
+  * Point lookups then touch only files that survive TWO prune stages:
+  *   1. min/max — kills files whose key range can't hold any probe
+  *      (pays off when the layout is range-clustered, e.g. written via
+  *      [[RangePartition.byKll]]);
+  *   2. EBF membership — kills in-range files that don't actually
+  *      contain any probe (pays off exactly where zone maps can't:
+  *      sparse/filtered key domains). No false negatives, so pruning
+  *      NEVER loses rows; a false positive only admits an extra file,
+  *      and the exact post-read filter keeps the result precise.
+  *
+  * Scale shape: the sidecar is ~1 row per data file (~800k rows for
+  * 100 TB of 128 MB files — broadcast-size), probes broadcast against
+  * it, and candidacy is a map-side semi-join. The only driver-side
+  * materialization is the candidate FILE LIST — bounded by matching
+  * files, the same thing any table format's planner collects. A
+  * negative lookup (key absent from the dataset) reads ZERO data
+  * files with probability (1 - fpr)^files, the classic bloom-index
+  * win over pure zone maps.
+  */
+object SketchIndex {
+
+  /** Build the sidecar: one row per file of the parquet dataset at
+    * `path` — `[file, rows, mn, mx, sk]`. Keys are sketched as their
+    * string form (probe-side must cast identically; [[candidates]]
+    * and [[lookup]] do). One distributed pass, no shuffle beyond the
+    * per-file groupBy (which AQE coalesces to the file count).
+    */
+  def build(spark: SparkSession, path: String, keyName: String): DataFrame = {
+    Graft.ensure(spark)
+    spark.read.parquet(path)
+      .groupBy(input_file_name().as("file"))
+      .agg(count(lit(1)).as("rows"),
+        min(col(keyName)).as("mn"), max(col(keyName)).as("mx"),
+        expr(s"ebf_agg(cast($keyName as string))").as("sk"))
+  }
+
+  /** Files that might contain at least one probe key: the min/max
+    * stage, then (if `useEbf`) the membership stage. Returns the
+    * pruned sidecar (distributed; count it for prune stats, collect
+    * `file` to plan the read). Null probes match nothing, mirroring
+    * the aggregators' null-skipping.
+    */
+  def candidates(index: DataFrame, probes: DataFrame, useEbf: Boolean = true): DataFrame = {
+    val key = probes.columns.head
+    val p = broadcast(probes.select(col(key).as("__p")).filter(col("__p").isNotNull).distinct())
+    val inRange = col("__p") >= col("mn") && col("__p") <= col("mx")
+    val cond = if (useEbf)
+      inRange && expr("ebf_might_contain(sk, cast(__p as string))")
+    else inRange
+    index.join(p, cond, "left_semi")
+  }
+
+  /** Exact point lookup through the index: read ONLY candidate files,
+    * then the precise semi-join against the probe set. Row-identical
+    * to filtering the full dataset (no false negatives); the empty
+    * candidate set short-circuits to an empty frame without touching
+    * any data file.
+    */
+  def lookup(spark: SparkSession, path: String, index: DataFrame,
+             keyName: String, probes: DataFrame): DataFrame = {
+    val files = candidates(index, probes).select("file").collect().map(_.getString(0))
+    val schema = spark.read.parquet(path).schema
+    val base =
+      if (files.isEmpty) spark.createDataFrame(spark.sparkContext.emptyRDD[Row], schema)
+      else spark.read.schema(schema).parquet(files.toIndexedSeq: _*)
+    val key = probes.columns.head
+    base.join(broadcast(probes.select(col(key).as(keyName)).filter(col(keyName).isNotNull).distinct()),
+      Seq(keyName), "left_semi")
+  }
+}

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.core.Kll
 import graft.functions.Graft
-import graft.pipeline.{AsofJoin, CheckpointRunner, JoinPrune, RangePartition, SaltedAgg, Sessionize}
+import graft.pipeline.{AsofJoin, CheckpointRunner, JoinPrune, RangePartition, SaltedAgg, Sessionize, SketchIndex}
 import graft.pipeline.SaltedAgg.SketchSpec
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -419,6 +419,55 @@ object PipelineQueries {
       } finally graft.util.GraftFiles.deleteRecursively(tmp)
     },
 
+    // O61: sketch-sidecar data skipping — the index consulted BEFORE
+    // the scan. A curated subset (quality-filtered, so the key domain
+    // has real holes) is written range-clustered; the sidecar is built
+    // in one distributed pass; a narrow-band point lookup must
+    // (a) return EXACTLY the rows a full scan would (DuckDB recomputes
+    // them from the raw table), (b) plan fewer files than exist
+    // (min/max stage), and (c) for a probe set that is entirely
+    // in-range-but-absent, the EBF stage must prune below what min/max
+    // alone admits — the negative-lookup win zone maps can't provide.
+    // False positives only admit extra files; correctness is carried
+    // by the exact post-read semi-join. Results are materialized
+    // before the staged files are deleted.
+    "sketch_index_lookup_check" -> { (s, dir) =>
+      Graft.ensure(s)
+      val minChars = 306 // fixed curation threshold, mirrored in the oracle
+      val curated = docs(s, dir).filter(col("n_chars") >= minChars)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_sketch_index").toString
+      try {
+        curated.repartitionByRange(8, col("doc_id"))
+          .write.mode("overwrite").parquet(tmp)
+        val idx = SketchIndex.build(s, tmp, "doc_id").cache()
+        val nFiles = idx.count()
+        // probes: every 3rd id in a narrow band (some curated = hits,
+        // some filtered out = in-range absences) + one far outside
+        val probes = s.range(100, 160).filter(col("id") % 3 === 0)
+          .select(col("id").as("doc_id"))
+          .union(s.range(1).select(lit(1000000000L).as("doc_id")))
+        val nCand = SketchIndex.candidates(idx, probes).count()
+        // absent-only probes: in-range ids the curation filter removed
+        val absent = docs(s, dir)
+          .filter(col("n_chars") < minChars && col("doc_id") >= 100 && col("doc_id") < 160)
+          .select("doc_id")
+        val mmOnly = SketchIndex.candidates(idx, absent, useEbf = false).count()
+        val ebfNeg = SketchIndex.candidates(idx, absent).count()
+        val out = SketchIndex.lookup(s, tmp, idx, "doc_id", probes)
+          .select(col("doc_id"), col("n_chars"),
+            lit(nCand < nFiles).as("files_pruned"),
+            lit(ebfNeg < mmOnly).as("negative_lookup_pruned"))
+          .orderBy("doc_id").collect()
+        idx.unpersist()
+        s.createDataFrame(java.util.Arrays.asList(out: _*),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("n_chars", org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("files_pruned", org.apache.spark.sql.types.BooleanType, nullable = false),
+            org.apache.spark.sql.types.StructField("negative_lookup_pruned", org.apache.spark.sql.types.BooleanType, nullable = false))))
+      } finally graft.util.GraftFiles.deleteRecursively(tmp)
+    },
+
     // The persistence claim behind O31 and the sharded probe: a built filter is a
     // first-class VALUE — the sharded EBF table written to parquet and
     // reloaded is byte-identical and probes identically, which is what
@@ -613,6 +662,10 @@ object PipelineQueries {
     "kll_sorted_layout_check" ->
       ("SELECT TRUE AS rows_conserved, TRUE AS multiple_files, " +
         "TRUE AS file_ranges_disjoint, TRUE AS files_sorted_within"),
+    "sketch_index_lookup_check" ->
+      ("SELECT doc_id, n_chars, TRUE AS files_pruned, TRUE AS negative_lookup_pruned " +
+        "FROM documents WHERE n_chars >= 306 " +
+        "AND doc_id >= 100 AND doc_id < 160 AND doc_id % 3 = 0 ORDER BY doc_id"),
     "stream_vs_batch_sketch_equivalence" ->
       ("SELECT lang, TRUE AS ebf_equal, TRUE AS hll_equal, TRUE AS cms_equal, " +
         "TRUE AS theta_equal " +
