@@ -551,6 +551,56 @@ object PipelineQueries {
         .toDF("lang", "ebf_equal", "hll_equal", "cms_equal", "theta_equal")
     },
 
+    // O62: streaming exact dedup — the continuous-ingest form of O22's
+    // batch dedup. Every third doc is planted twice with a later
+    // arrival time, the stream is replayed one file per micro-batch
+    // (AvailableNow), and dropDuplicatesWithinWatermark must suppress
+    // the cross-batch re-arrivals through the state store. Unlike
+    // plain dropDuplicates-on-stream (state grows forever), the
+    // watermark BOUNDS state to the re-arrival horizon — the only form
+    // that survives an unbounded corpus feed; the gate's 1-day delay
+    // covers the planted 90 s re-arrivals. First occurrences pass
+    // through append mode, so the emitted key set must equal the batch
+    // distinct exactly.
+    "stream_dedup_check" -> { (s, dir) =>
+      Graft.ensure(s)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_stream_dedup").toString
+      val rows =
+        try {
+          val base = docs(s, dir).select(col("doc_id"),
+            timestamp_seconds(lit(1700000000L) + col("doc_id")).as("ts"))
+          val dupes = base.filter(col("doc_id") % 3 === 0)
+            .withColumn("ts", col("ts") + expr("INTERVAL 90 SECONDS"))
+          base.union(dupes).repartition(4).write.mode("overwrite").parquet(tmp)
+          val staged = s.read.parquet(tmp)
+          val qname = "graft_stream_dedup_" + java.util.UUID.randomUUID.toString.replace("-", "")
+          val q = s.readStream.schema(staged.schema)
+            .option("maxFilesPerTrigger", "1").parquet(tmp)
+            .withWatermark("ts", "1 day")
+            .dropDuplicatesWithinWatermark("doc_id")
+            .select("doc_id")
+            .writeStream.outputMode("append").format("memory").queryName(qname)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+          try {
+            q.awaitTermination()
+            val streamIds = s.table(qname).select("doc_id")
+            val batchIds = staged.dropDuplicates("doc_id").select("doc_id")
+            val nIn = staged.count()
+            val nOut = streamIds.count()
+            val equal = streamIds.exceptAll(batchIds).isEmpty &&
+              batchIds.exceptAll(streamIds).isEmpty
+            streamIds
+              .select(col("doc_id"),
+                lit(nIn > nOut).as("input_had_dupes"),
+                lit(equal).as("stream_equals_batch"))
+              .orderBy("doc_id").collect().toSeq
+          } finally s.catalog.dropTempView(qname)
+        } finally graft.util.GraftFiles.deleteRecursively(tmp)
+      import s.implicits._
+      rows.map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2)))
+        .toDF("doc_id", "input_had_dupes", "stream_equals_batch")
+    },
+
     "parallelism_invariance" -> { (s, dir) =>
       Graft.ensure(s)
       val d = docs(s, dir)
@@ -673,5 +723,8 @@ object PipelineQueries {
     "ebf_filter_persistence_check" ->
       ("SELECT TRUE AS shards_byte_identical_after_roundtrip, " +
         "TRUE AS all_shards_present, TRUE AS reloaded_filter_no_false_negatives"),
+    "stream_dedup_check" ->
+      ("SELECT doc_id, TRUE AS input_had_dupes, TRUE AS stream_equals_batch " +
+        "FROM documents ORDER BY doc_id"),
   )
 }
