@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.core.Kll
 import graft.functions.Graft
-import graft.pipeline.{AsofJoin, CheckpointRunner, JoinPrune, RangePartition, SaltedAgg, Sessionize, SketchIndex}
+import graft.pipeline.{AsofJoin, CheckpointRunner, JoinPrune, RangePartition, SaltedAgg, Sessionize, SketchIndex, ZOrder}
 import graft.pipeline.SaltedAgg.SketchSpec
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -468,6 +468,81 @@ object PipelineQueries {
       } finally graft.util.GraftFiles.deleteRecursively(tmp)
     },
 
+    // O63: z-order clustering vs linear sort for multi-column data
+    // skipping. The same orders projection is written twice — linearly
+    // range-clustered by o_custkey (O32) and z-ordered on
+    // (o_custkey, o_totalprice) — and per-file min/max sidecar stats
+    // (the O61 role) plan a band query on each layout. Gates:
+    // (a) the 2-D band answered from ONLY the z-surviving files is
+    // value-exact (DuckDB recomputes it from the raw table — pruning
+    // by exact per-file min/max is lossless whatever the layout);
+    // (b) a band on the SECOND column alone prunes files under the
+    // z layout; (c) the linear layout cannot prune that band (every
+    // file spans the full price range) — the measured claim that
+    // makes z-order worth an exchange at 100 TB.
+    "zorder_skipping_check" -> { (s, dir) =>
+      Graft.ensure(s)
+      val o = s.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val nIn = o.count()
+      val kCust = Kll.fromBytes(
+        o.select(expr("kll_agg(cast(o_custkey as double))")).head.getAs[Array[Byte]](0))
+      val kPrice = Kll.fromBytes(
+        o.select(expr("kll_agg(o_totalprice)")).head.getAs[Array[Byte]](0))
+      val tmpZ = java.nio.file.Files.createTempDirectory("graft_zorder_z").toString
+      val tmpL = java.nio.file.Files.createTempDirectory("graft_zorder_l").toString
+      try {
+        ZOrder.layout(o, Seq(col("o_custkey").cast("double"), col("o_totalprice")),
+            Seq(kCust, kPrice), bits = 8, fileBits = 4)
+          .write.mode("overwrite").parquet(tmpZ)
+        RangePartition.byKll(o, col("o_custkey").cast("double"), kCust, 16)
+          .sortWithinPartitions(col("o_custkey"))
+          .write.mode("overwrite").parquet(tmpL)
+        // the sidecar stats pass: exact per-file min/max on BOTH dims
+        def stats(path: String): Array[(String, Long, Long, Double, Double)] =
+          s.read.parquet(path).groupBy(input_file_name().as("f"))
+            .agg(min("o_custkey").as("cmn"), max("o_custkey").as("cmx"),
+              min("o_totalprice").as("pmn"), max("o_totalprice").as("pmx"))
+            .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+              r.getDouble(3), r.getDouble(4)))
+        val zs = stats(tmpZ)
+        val ls = stats(tmpL)
+        val (cLo, cHi, pLo, pHi) = (200L, 500L, 100000.0, 200000.0)
+        def hits(st: Array[(String, Long, Long, Double, Double)],
+                 cl: Long, ch: Long, pl: Double, ph: Double) =
+          st.filter { case (_, cmn, cmx, pmn, pmx) =>
+            cmn <= ch && cmx >= cl && pmn <= ph && pmx >= pl }
+        val z2d = hits(zs, cLo, cHi, pLo, pHi)
+        val zP = hits(zs, Long.MinValue, Long.MaxValue, pLo, pHi)
+        val lP = hits(ls, Long.MinValue, Long.MaxValue, pLo, pHi)
+        // answer the 2-D band from ONLY the z-surviving files (no
+        // false negatives: exact per-file min/max can't exclude a
+        // file holding a band row, so an empty candidate set means an
+        // empty band)
+        val (nBand, sumBand) =
+          if (z2d.isEmpty) (0L, 0.0)
+          else {
+            val band = s.read.schema(s.read.parquet(tmpZ).schema)
+              .parquet(z2d.map(_._1).toIndexedSeq: _*)
+              .filter(col("o_custkey").between(cLo, cHi) &&
+                col("o_totalprice").between(pLo, pHi))
+              .agg(count(lit(1)).as("n"), sum("o_totalprice").as("sp")).head
+            (band.getLong(0), band.getDouble(1))
+          }
+        val nConserved = s.read.parquet(tmpZ).count()
+        s.range(1).select(
+          lit(nBand).as("n_band"),
+          round(lit(sumBand), 2).as("sum_band"),
+          lit(nConserved == nIn).as("rows_conserved"),
+          lit(z2d.length < zs.length).as("z_files_pruned_2d"),
+          lit(zP.length < zs.length).as("z_prunes_price_dim"),
+          lit(zP.length < lP.length).as("z_beats_linear_price_dim"))
+      } finally {
+        graft.util.GraftFiles.deleteRecursively(tmpZ)
+        graft.util.GraftFiles.deleteRecursively(tmpL)
+      }
+    },
+
     // The persistence claim behind O31 and the sharded probe: a built filter is a
     // first-class VALUE — the sharded EBF table written to parquet and
     // reloaded is byte-identical and probes identically, which is what
@@ -726,5 +801,11 @@ object PipelineQueries {
     "stream_dedup_check" ->
       ("SELECT doc_id, TRUE AS input_had_dupes, TRUE AS stream_equals_batch " +
         "FROM documents ORDER BY doc_id"),
+    "zorder_skipping_check" ->
+      ("SELECT count(*) AS n_band, round(sum(o_totalprice), 2) AS sum_band, " +
+        "TRUE AS rows_conserved, TRUE AS z_files_pruned_2d, " +
+        "TRUE AS z_prunes_price_dim, TRUE AS z_beats_linear_price_dim " +
+        "FROM orders WHERE o_custkey BETWEEN 200 AND 500 " +
+        "AND o_totalprice BETWEEN 100000 AND 200000"),
   )
 }
