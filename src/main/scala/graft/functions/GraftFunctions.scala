@@ -39,6 +39,13 @@ object Graft {
         spark.experimental.extraOptimizations =
           spark.experimental.extraOptimizations :+ graft.plans.EbfJoinPruneRule
       }
+      // opt-in COUNT(DISTINCT) -> HLL estimate (fires only when
+      // spark.graft.approxDistinct.enabled=true; CHANGES RESULTS to a
+      // bounded estimate — see ApproxDistinctRewriteRule)
+      if (!spark.experimental.extraOptimizations.contains(graft.plans.ApproxDistinctRewriteRule)) {
+        spark.experimental.extraOptimizations =
+          spark.experimental.extraOptimizations :+ graft.plans.ApproxDistinctRewriteRule
+      }
       // native codegen'd SQL expressions (the UDF registry can't host
       // Expression builders; goes through the sessionState shim)
       val natives = Seq(

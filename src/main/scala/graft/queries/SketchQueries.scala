@@ -232,6 +232,43 @@ object SketchQueries {
         .orderBy("token")
     },
 
+    // O64: the opt-in COUNT(DISTINCT) -> HLL rewrite exercised
+    // end-to-end through the driver gate (the cms_literal_probe_check
+    // pattern for optimizer artifacts): the config is enabled
+    // in-query, the optimized plan must carry HllNdvAggExpr, the
+    // rewritten estimate must EQUAL hll_estimate(hll_agg(key))
+    // (same hash/p/seed — the native agg is the library sketch, not a
+    // lookalike), sit within the 3-sigma HLL bound of exact, and the
+    // exact column itself (computed with the rule off) is what DuckDB
+    // verifies.
+    "approx_distinct_rewrite_check" -> { (s, dir) =>
+      Graft.ensure(s)
+      val d = docs(s, dir)
+      val exact = d.groupBy("lang").agg(countDistinct(col("doc_id")).as("ndv_exact"))
+      require(!exact.queryExecution.optimizedPlan.expressions.exists(_.exists(
+        _.isInstanceOf[graft.plans.HllNdvAggExpr])),
+        "rule must be off by default")
+      val exactRows = exact.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      s.conf.set("spark.graft.approxDistinct.enabled", "true")
+      val (estRows, fired) =
+        try {
+          val est = d.groupBy("lang").agg(countDistinct(col("doc_id")).as("ndv_est"))
+          val f = est.queryExecution.optimizedPlan.expressions.exists(_.exists(
+            _.isInstanceOf[graft.plans.HllNdvAggExpr]))
+          (est.collect().map(r => r.getString(0) -> r.getLong(1)).toMap, f)
+        } finally s.conf.unset("spark.graft.approxDistinct.enabled")
+      val libRows = d.groupBy("lang")
+        .agg(expr("hll_estimate(hll_agg(cast(doc_id as string)))").as("ndv_lib"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val sigma = 1.04 / math.sqrt(1 << graft.core.Hll.DefaultP)
+      import s.implicits._
+      exactRows.toSeq.sortBy(_._1).map { case (lang, ex) =>
+        (lang, ex, fired,
+          estRows(lang) == libRows(lang),
+          math.abs(estRows(lang) - ex) <= 3 * sigma * ex + 1)
+      }.toDF("lang", "ndv_exact", "rewrite_fired", "est_equals_library_hll", "within_bound")
+    },
+
     // O56: CMS heavy-change detection (Cormode-Muthukrishnan's "what's
     // new" question): the tokens whose frequency moved most between two
     // corpus halves, from TWO mergeable 230KB sketches instead of two
@@ -592,6 +629,10 @@ object SketchQueries {
         "AS exact_join_size, TRUE AS overestimates, TRUE AS within_published_bound"),
     "cms_literal_probe_check" ->
       "SELECT token, TRUE AS over, TRUE AS within_eps FROM (SELECT DISTINCT unnest(string_split(text, ' ')) AS token FROM documents) ORDER BY token",
+    "approx_distinct_rewrite_check" ->
+      ("SELECT lang, count(DISTINCT doc_id) AS ndv_exact, TRUE AS rewrite_fired, " +
+        "TRUE AS est_equals_library_hll, TRUE AS within_bound " +
+        "FROM documents GROUP BY lang ORDER BY lang"),
     "exact_token_topk" ->
       "SELECT token, COUNT(*) AS cnt FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) GROUP BY token ORDER BY cnt DESC, token ASC LIMIT 20",
     // vocabulary (31 tokens at sf0.01) fits the 256-counter capacity, so
