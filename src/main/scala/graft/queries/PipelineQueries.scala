@@ -676,6 +676,77 @@ object PipelineQueries {
         .toDF("doc_id", "input_had_dupes", "stream_equals_batch")
     },
 
+    // Stream-STREAM inner join with event-time range condition — the
+    // continuous form of enrichment joins (doc stream x annotation
+    // stream). Both sides are watermarked and the join carries a time
+    // bound, which is what lets Spark EXPIRE buffered state: an
+    // unbounded-state stream join dies on a corpus feed, the bounded
+    // form keeps state to (watermark delay + range) x ingest rate.
+    // Annotations exist for every 2nd doc and arrive 60 s after the
+    // doc event, inside the 5 min range; the streamed result replayed
+    // file-per-micro-batch must equal the batch join exactly.
+    "stream_join_check" -> { (s, dir) =>
+      Graft.ensure(s)
+      val tmpL = java.nio.file.Files.createTempDirectory("graft_sj_docs").toString
+      val tmpR = java.nio.file.Files.createTempDirectory("graft_sj_anns").toString
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      val rows =
+        try {
+          val base = docs(s, dir).select(col("doc_id"), col("lang"),
+            timestamp_seconds(lit(1700000000L) + col("doc_id")).as("ts"))
+          base.repartition(2).write.mode("overwrite").parquet(tmpL)
+          base.filter(col("doc_id") % 2 === 0)
+            .select(col("doc_id").as("ann_id"),
+              (col("ts") + expr("INTERVAL 60 SECONDS")).as("ann_ts"),
+              concat(lit("label_"), col("doc_id") % 7).as("label"))
+            .repartition(2).write.mode("overwrite").parquet(tmpR)
+          // state-store width is fixed at stream START from
+          // spark.sql.shuffle.partitions; 32 state partitions x
+          // per-micro-batch overhead dominates this machinery-bound
+          // gate, so narrow it for the stream (restored in the outer
+          // finally, exception-safe)
+          s.conf.set("spark.sql.shuffle.partitions", "4")
+          val docsSt = s.readStream.schema(s.read.parquet(tmpL).schema)
+            .option("maxFilesPerTrigger", "1").parquet(tmpL)
+            .withWatermark("ts", "10 minutes")
+          val annsSt = s.readStream.schema(s.read.parquet(tmpR).schema)
+            .option("maxFilesPerTrigger", "1").parquet(tmpR)
+            .withWatermark("ann_ts", "10 minutes")
+          val joined = docsSt.join(annsSt,
+            col("doc_id") === col("ann_id") &&
+              col("ann_ts") >= col("ts") &&
+              col("ann_ts") <= col("ts") + expr("INTERVAL 5 MINUTES"))
+            .select(col("doc_id"), col("lang"), col("label"))
+          val qname = "graft_stream_join_" + java.util.UUID.randomUUID.toString.replace("-", "")
+          val q = joined.writeStream.outputMode("append").format("memory")
+            .queryName(qname)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+          try {
+            q.awaitTermination()
+            val streamed = s.table(qname)
+            val batch = s.read.parquet(tmpL).as("d")
+              .join(s.read.parquet(tmpR).as("a"),
+                col("doc_id") === col("ann_id") &&
+                  col("ann_ts") >= col("ts") &&
+                  col("ann_ts") <= col("ts") + expr("INTERVAL 5 MINUTES"))
+              .select(col("doc_id"), col("lang"), col("label"))
+            val equal = streamed.exceptAll(batch).isEmpty &&
+              batch.exceptAll(streamed).isEmpty
+            streamed
+              .select(col("doc_id"), col("lang"), col("label"),
+                lit(equal).as("stream_equals_batch"))
+              .orderBy("doc_id").collect().toSeq
+          } finally s.catalog.dropTempView(qname)
+        } finally {
+          s.conf.set("spark.sql.shuffle.partitions", prevParts)
+          graft.util.GraftFiles.deleteRecursively(tmpL)
+          graft.util.GraftFiles.deleteRecursively(tmpR)
+        }
+      import s.implicits._
+      rows.map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getBoolean(3)))
+        .toDF("doc_id", "lang", "label", "stream_equals_batch")
+    },
+
     "parallelism_invariance" -> { (s, dir) =>
       Graft.ensure(s)
       val d = docs(s, dir)
@@ -801,6 +872,10 @@ object PipelineQueries {
     "stream_dedup_check" ->
       ("SELECT doc_id, TRUE AS input_had_dupes, TRUE AS stream_equals_batch " +
         "FROM documents ORDER BY doc_id"),
+    "stream_join_check" ->
+      ("SELECT doc_id, lang, 'label_' || CAST(doc_id % 7 AS VARCHAR) AS label, " +
+        "TRUE AS stream_equals_batch FROM documents WHERE doc_id % 2 = 0 " +
+        "ORDER BY doc_id"),
     "zorder_skipping_check" ->
       ("SELECT count(*) AS n_band, round(sum(o_totalprice), 2) AS sum_band, " +
         "TRUE AS rows_conserved, TRUE AS z_files_pruned_2d, " +
