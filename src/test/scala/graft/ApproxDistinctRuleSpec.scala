@@ -123,6 +123,30 @@ class ApproxDistinctRuleSpec extends AnyFunSuite with BeforeAndAfterEach {
     }
   }
 
+  test("composes with the EBF join-prune rule in one query") {
+    enable()
+    spark.conf.set("spark.graft.joinPrune.enabled", "true")
+    try {
+      val fact = spark.range(100000).select(col("id"), pmod(col("id"), lit(1000)).as("fk"))
+      val build = spark.range(50).select((col("id") * 3).as("bk"))
+      // join gets EBF-pruned, the distinct count gets HLL-swapped —
+      // two independent rewrites on one plan
+      val q = fact.join(build, col("fk") === col("bk"))
+        .agg(countDistinct(col("fk")).as("ndv"))
+      val plan = q.queryExecution.optimizedPlan
+      assert(hllAggs(plan) === 1, s"approx rewrite missing:\n$plan")
+      var probes = 0
+      plan.foreach(p => p.expressions.foreach(_.foreach {
+        case _: graft.plans.EbfProbeExpr => probes += 1
+        case _ =>
+      }))
+      assert(probes === 1, s"join prune missing:\n$plan")
+      // exact distinct fk values surviving the join: bk = 0,3,...,147
+      // intersect fk domain [0,1000) = 50 values; HLL is exact at n=50
+      assert(q.head.getLong(0) === 50L)
+    } finally spark.conf.unset("spark.graft.joinPrune.enabled")
+  }
+
   test("streaming aggregate is not rewritten") {
     enable()
     val stream = spark.readStream.format("rate")
