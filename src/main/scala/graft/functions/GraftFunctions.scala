@@ -149,6 +149,32 @@ object Graft {
       (sk: Array[Byte], q: Double) => SketchCache.kll(sk).quantile(q))
     r.register("kll_rank",
       (sk: Array[Byte], v: Double) => SketchCache.kll(sk).rank(v))
+    // equi-height histogram export (the ANALYZE-stats / CBO role):
+    // B buckets at the i/B quantiles of ONE mergeable sketch — where
+    // an exact equi-height histogram needs a full sort or Spark's
+    // sampling-based percentile pass per column. Boundaries are
+    // deterministic (KLL compaction is); rows_est comes from rank
+    // differences of the boundary values, which TELESCOPE: masses
+    // sum to n (up to per-bucket rounding), and a heavy tied value
+    // that duplicates boundaries puts all its mass in the FIRST
+    // bucket ending at that value (rank is <=-based), leaving the
+    // duplicate-boundary buckets empty rather than smearing n/B
+    // into them. Each boundary carries the sketch's rank error, so
+    // a bucket's true mass is within n/B +- 2*eps*n (gated in
+    // kll_histogram_check).
+    r.register("kll_histogram", (sk: Array[Byte], b: Int) => {
+      require(b >= 1 && b <= 100000, s"bucket count out of range: $b")
+      val k = SketchCache.kll(sk)
+      if (k.n == 0L) Array.empty[HistBucket]
+      else {
+        val qs = Array.tabulate(b + 1)(i => k.quantile(i.toDouble / b))
+        Array.tabulate(b) { i =>
+          val rLo = if (i == 0) 0.0 else k.rank(qs(i))
+          val rHi = if (i == b - 1) 1.0 else k.rank(qs(i + 1))
+          HistBucket(i, qs(i), qs(i + 1), math.round((rHi - rLo) * k.n))
+        }
+      }
+    })
     r.register("tdigest_quantile",
       (sk: Array[Byte], q: Double) => SketchCache.td(sk).quantile(q))
     r.register("tdigest_cdf",
@@ -200,6 +226,9 @@ case class EbfInfo(level: Int, numBuckets: Int, n: Long, bitsSet: Int,
 
 /** Output element of `topk_items`. */
 case class TopKItem(item: String, est: Long)
+
+/** Output element of `kll_histogram` — one equi-height bucket. */
+case class HistBucket(bucket: Int, lo: Double, hi: Double, rows_est: Long)
 
 /** Per-thread deserialized-sketch cache. Sketch bytes arriving from a
   * Column are re-materialized per row by the UDF boundary, so identity

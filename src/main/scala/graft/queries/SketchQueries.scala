@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.core._
 import graft.functions.{Graft, SketchAggregators}
+import graft.pipeline.RangePartition
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -230,6 +231,47 @@ object SketchQueries {
           (col("est") >= col("exact")).as("over"),
           (col("est") <= col("exact") + lit(cms.eps * cms.total) + lit(1.0)).as("within_eps"))
         .orderBy("token")
+    },
+
+    // O66: equi-height histogram export from one mergeable KLL — the
+    // ANALYZE-stats / CBO-histogram role without a sort. The 8-bucket
+    // histogram of l_extendedprice comes off the sketch
+    // (`kll_histogram`); per-bucket EXACT masses are then counted in
+    // one codegen'd RangeBucketExpr pass over the same interior
+    // boundaries and gated within n/B +- 2*eps*n (each boundary
+    // carries the sketch's rank error eps; deterministic sketch ->
+    // deterministic booleans). DuckDB anchors the exact total row
+    // count and the bucket frame.
+    "kll_histogram_check" -> { (s, dir) =>
+      Graft.ensure(s)
+      val li = lineitem(s, dir)
+      val bytes = li.select(expr("kll_agg(l_extendedprice)")).head.getAs[Array[Byte]](0)
+      val k = Kll.fromBytes(bytes)
+      val b = 8
+      val hex = bytes.map(x => f"$x%02x").mkString
+      val hist = s.range(1)
+        .select(explode(expr(s"kll_histogram(X'$hex', $b)")).as("h"))
+        .select(col("h.bucket"), col("h.lo"), col("h.hi"), col("h.rows_est"))
+        .collect().sortBy(_.getInt(0))
+      val bs = Array.tabulate(b - 1)(i => k.quantile((i + 1).toDouble / b))
+      val exact = RangePartition.bucketCol(col("l_extendedprice"), bs)
+      val counts = li.groupBy(exact.as("bucket")).agg(count(lit(1)).as("cnt"))
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val n = k.n
+      val eps = k.normalizedRankError
+      val bound = 2.0 * eps * n + 1.0
+      val monotone = hist.sliding(2).forall(w =>
+        w.length < 2 || (w(0).getDouble(2) <= w(1).getDouble(1) + 1e-9))
+      import s.implicits._
+      hist.toSeq.map { r =>
+        val i = r.getInt(0)
+        val exactCnt = counts.getOrElse(i, 0L)
+        (i, n,
+          math.abs(exactCnt - n.toDouble / b) <= bound,
+          math.abs(r.getLong(3) - exactCnt) <= bound,
+          monotone)
+      }.toDF("bucket", "n_total", "equi_height_within_bound",
+        "est_matches_exact_within_bound", "boundaries_monotone")
     },
 
     // O64: the opt-in COUNT(DISTINCT) -> HLL rewrite exercised
@@ -633,6 +675,10 @@ object SketchQueries {
       ("SELECT lang, count(DISTINCT doc_id) AS ndv_exact, TRUE AS rewrite_fired, " +
         "TRUE AS est_equals_library_hll, TRUE AS within_bound " +
         "FROM documents GROUP BY lang ORDER BY lang"),
+    "kll_histogram_check" ->
+      ("SELECT CAST(g AS INT) AS bucket, (SELECT count(*) FROM lineitem) AS n_total, " +
+        "TRUE AS equi_height_within_bound, TRUE AS est_matches_exact_within_bound, " +
+        "TRUE AS boundaries_monotone FROM generate_series(0, 7) t(g) ORDER BY bucket"),
     "exact_token_topk" ->
       "SELECT token, COUNT(*) AS cnt FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) GROUP BY token ORDER BY cnt DESC, token ASC LIMIT 20",
     // vocabulary (31 tokens at sf0.01) fits the 256-counter capacity, so
