@@ -49,6 +49,35 @@ object SketchIndex {
         expr(s"ebf_agg(cast($keyName as string))").as("sk"))
   }
 
+  /** Incremental maintenance: index ONLY files not already covered by
+    * `existing` and return the refreshed sidecar (old rows + new
+    * rows). At 100 TB a daily append adds ~0.1% of files — rebuilding
+    * the sidecar from scratch would re-scan the whole dataset, while
+    * this touches just the appended files (the file list comes from
+    * the dataset's own listing; the anti-join against the existing
+    * sidecar is driver-free and broadcast-size). Stats for already-
+    * indexed files are reused byte-for-byte, so lookups through the
+    * refreshed index are identical to a full rebuild (spec-asserted).
+    */
+  def update(spark: SparkSession, path: String, keyName: String,
+             existing: DataFrame): DataFrame = {
+    Graft.ensure(spark)
+    val ds = spark.read.parquet(path)
+    // the file LIST is driver-side (it is what any table format's
+    // planner holds anyway); the scan below reads ONLY the new files
+    val known = existing.select("file").collect().map(_.getString(0)).toSet
+    val fresh = ds.inputFiles.filterNot(known)
+    if (fresh.isEmpty) existing
+    else {
+      val idx = spark.read.schema(ds.schema).parquet(fresh.toIndexedSeq: _*)
+        .groupBy(input_file_name().as("file"))
+        .agg(count(lit(1)).as("rows"),
+          min(col(keyName)).as("mn"), max(col(keyName)).as("mx"),
+          expr(s"ebf_agg(cast($keyName as string))").as("sk"))
+      existing.unionByName(idx)
+    }
+  }
+
   /** Files that might contain at least one probe key: the min/max
     * stage, then (if `useEbf`) the membership stage. Returns the
     * pruned sidecar (distributed; count it for prune stats, collect

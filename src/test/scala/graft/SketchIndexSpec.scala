@@ -95,4 +95,37 @@ class SketchIndexSpec extends AnyFunSuite {
       assert(got.map(_.getAs[Long]("k")).toSeq === Seq(4L))
     }
   }
+
+  test("incremental update indexes only appended files; lookups match a full rebuild") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_si_upd").toString
+    try {
+      dataset.repartitionByRange(8, col("k")).write.mode("overwrite").parquet(tmp)
+      val idx0 = SketchIndex.build(spark, tmp, "k").cache()
+      val files0 = idx0.count()
+      // no new files -> the same frame comes back untouched
+      assert(SketchIndex.update(spark, tmp, "k", idx0).count() == files0)
+      // append a batch with NEW keys (odds above the old domain)
+      spark.range(0, 500).select((col("id") * 2 + 9000).as("k"), (col("id") % 7).as("v"))
+        .repartition(3).write.mode("append").parquet(tmp)
+      val updated = SketchIndex.update(spark, tmp, "k", idx0).cache()
+      val rebuilt = SketchIndex.build(spark, tmp, "k").cache()
+      assert(updated.count() == files0 + 3, s"expected ${files0 + 3} files, got ${updated.count()}")
+      assert(updated.count() == rebuilt.count())
+      // stats identical to the rebuild file-for-file (sketches included)
+      val mismatch = updated.as("u").join(rebuilt.as("r"), "file")
+        .filter(col("u.rows") =!= col("r.rows") || col("u.mn") =!= col("r.mn") ||
+          col("u.mx") =!= col("r.mx") || col("u.sk") =!= col("r.sk")).count()
+      assert(mismatch == 0L)
+      // a lookup that needs BOTH old and new files is row-identical to
+      // the full-scan filter through either index
+      val probes = probesOf(Seq(4L, 9002L, 9998L))
+      val viaUpdated = SketchIndex.lookup(spark, tmp, updated, "k", probes)
+        .orderBy("k").collect()
+      val viaRebuilt = SketchIndex.lookup(spark, tmp, rebuilt, "k", probes)
+        .orderBy("k").collect()
+      assert(viaUpdated.toSeq === viaRebuilt.toSeq)
+      assert(viaUpdated.map(_.getAs[Long]("k")).toSeq === Seq(4L, 9002L, 9998L))
+      idx0.unpersist(); updated.unpersist(); rebuilt.unpersist()
+    } finally graft.util.GraftFiles.deleteRecursively(tmp)
+  }
 }
