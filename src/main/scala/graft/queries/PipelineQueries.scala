@@ -676,6 +676,77 @@ object PipelineQueries {
         .toDF("doc_id", "input_had_dupes", "stream_equals_batch")
     },
 
+    // Event-time WINDOWED sketch aggregation on a stream, append mode
+    // — the production shape ("10-minute NDV per window at continuous
+    // ingest"): the watermark lets Spark FINALIZE a window and evict
+    // its state, so state is (windows in flight) not (windows ever);
+    // our mergeable aggregators run as the stateful window aggregate.
+    // Replay order is made deterministic by writing four ascending
+    // time-slice files SEQUENTIALLY (file-source replay is
+    // oldest-mtime-first), so no row is ever behind the watermark and
+    // nothing is dropped. Emission rule pinned: append mode emits
+    // exactly the windows whose end <= max(ts) - delay at the
+    // terminal no-data batch — both engines restrict to that set, and
+    // per-window the streamed HLL must equal the batch HLL
+    // byte-for-byte (same inputs, associative merge).
+    "stream_windowed_sketch_check" -> { (s, dir) =>
+      Graft.ensure(s)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_stream_win").toString
+      // state-store width pinned for the stream (see stream_join_check)
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      val rows =
+        try {
+          // one event per minute -> 10-minute windows hold 10 docs
+          val base = docs(s, dir).select(col("doc_id"),
+            timestamp_seconds(lit(1700000000L) + col("doc_id") * 60L).as("ts"))
+          val nDocs = base.count()
+          for (i <- 0L until 4L) {
+            base.filter(col("doc_id") * 4 >= lit(i * nDocs) &&
+                col("doc_id") * 4 < lit((i + 1) * nDocs))
+              .coalesce(1).write.mode(if (i == 0L) "overwrite" else "append")
+              .parquet(tmp)
+          }
+          val staged = s.read.parquet(tmp)
+          s.conf.set("spark.sql.shuffle.partitions", "4")
+          val qname = "graft_stream_win_" + java.util.UUID.randomUUID.toString.replace("-", "")
+          val q = s.readStream.schema(staged.schema)
+            .option("maxFilesPerTrigger", "1").parquet(tmp)
+            .withWatermark("ts", "600 seconds")
+            .groupBy(window(col("ts"), "10 minutes"))
+            .agg(expr("hll_agg(cast(doc_id as string))").as("hll"),
+              count(lit(1)).as("n"))
+            .select(col("window.start").as("ws"), col("hll"), col("n"))
+            .writeStream.outputMode("append").format("memory").queryName(qname)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+          try {
+            q.awaitTermination()
+            val streamed = s.table(qname)
+            val cutoff = staged.agg((max(col("ts").cast("long")) - 600L).as("c"))
+              .head.getLong(0)
+            val batch = staged
+              .groupBy(window(col("ts"), "10 minutes"))
+              .agg(expr("hll_agg(cast(doc_id as string))").as("hll"),
+                count(lit(1)).as("n"))
+              .select(col("window.start").as("ws"), col("hll"), col("n"),
+                col("window.end").cast("long").as("we"))
+              .filter(col("we") <= lit(cutoff))
+            batch.as("b").join(streamed.as("st"), "ws")
+              .select(col("ws").cast("long").as("window_start"),
+                col("b.n").as("n_docs"),
+                (col("b.hll") === col("st.hll")).as("hll_equal_batch"),
+                (col("b.n") === col("st.n")).as("count_equal_batch"),
+                lit(batch.count() == streamed.count()).as("window_sets_equal"))
+              .orderBy("window_start").collect().toSeq
+          } finally s.catalog.dropTempView(qname)
+        } finally {
+          s.conf.set("spark.sql.shuffle.partitions", prevParts)
+          graft.util.GraftFiles.deleteRecursively(tmp)
+        }
+      import s.implicits._
+      rows.map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getBoolean(3), r.getBoolean(4)))
+        .toDF("window_start", "n_docs", "hll_equal_batch", "count_equal_batch", "window_sets_equal")
+    },
+
     // Stream-STREAM inner join with event-time range condition — the
     // continuous form of enrichment joins (doc stream x annotation
     // stream). Both sides are watermarked and the join carries a time
@@ -876,6 +947,14 @@ object PipelineQueries {
       ("SELECT doc_id, lang, 'label_' || CAST(doc_id % 7 AS VARCHAR) AS label, " +
         "TRUE AS stream_equals_batch FROM documents WHERE doc_id % 2 = 0 " +
         "ORDER BY doc_id"),
+    "stream_windowed_sketch_check" ->
+      ("SELECT window_start, n_docs, TRUE AS hll_equal_batch, " +
+        "TRUE AS count_equal_batch, TRUE AS window_sets_equal FROM (" +
+        "SELECT ((1700000000 + doc_id * 60) // 600) * 600 AS window_start, " +
+        "count(*) AS n_docs FROM documents GROUP BY 1) w " +
+        "WHERE window_start + 600 <= " +
+        "(SELECT max(1700000000 + doc_id * 60) - 600 FROM documents) " +
+        "ORDER BY window_start"),
     "zorder_skipping_check" ->
       ("SELECT count(*) AS n_band, round(sum(o_totalprice), 2) AS sum_band, " +
         "TRUE AS rows_conserved, TRUE AS z_files_pruned_2d, " +
