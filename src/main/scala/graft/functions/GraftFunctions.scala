@@ -70,6 +70,10 @@ object Graft {
     r.register("hll_agg", udaf(new HllAgg(Hll.DefaultP, SketchSeed)))
     r.register("theta_agg", udaf(new ThetaAgg(Theta.DefaultK, SketchSeed)))
     r.register("cms_agg", udaf(new CmsAgg(Cms.DefaultDepth, Cms.DefaultWidth, SketchSeed)))
+    // O68: time-decayed CMS, 1-hour half-life (lambda = ln2/3600);
+    // other half-lives go through the Column API with a custom udaf
+    r.register("dcms_agg", udaf(new DecayedCmsAgg(
+      DecayedCms.DefaultDepth, DecayedCms.DefaultWidth, SketchSeed, math.log(2.0) / 3600.0)))
     r.register("cms_tokens_agg", udaf(new CmsTokensAgg(Cms.DefaultDepth, Cms.DefaultWidth, SketchSeed)))
     r.register("kll_agg", udaf(new KllAgg(Kll.DefaultK)))
     r.register("tdigest_agg", udaf(new TDigestAgg(TDigest.DefaultCompression)))
@@ -84,6 +88,7 @@ object Graft {
     r.register("hll_merge_agg", udaf(new HllMergeAgg))
     r.register("theta_merge_agg", udaf(new ThetaMergeAgg))
     r.register("cms_merge_agg", udaf(new CmsMergeAgg))
+    r.register("dcms_merge_agg", udaf(new DecayedCmsMergeAgg))
     r.register("kll_merge_agg", udaf(new KllMergeAgg))
     r.register("tdigest_merge_agg", udaf(new TDigestMergeAgg))
     r.register("topk_merge_agg", udaf(new TopKMergeAgg))
@@ -145,6 +150,11 @@ object Graft {
     // eps*totalA*totalB whp — sketch-driven join planning
     r.register("cms_inner_product",
       (a: Array[Byte], b: Array[Byte]) => SketchCache.cms(a).innerProduct(SketchCache.cms(b)))
+    r.register("dcms_estimate",
+      (sk: Array[Byte], key: String, tNow: Double) =>
+        if (key == null) 0.0 else SketchCache.dcms(sk).estimate(key, tNow))
+    r.register("dcms_total",
+      (sk: Array[Byte], tNow: Double) => SketchCache.dcms(sk).totalAt(tNow))
     r.register("kll_quantile",
       (sk: Array[Byte], q: Double) => SketchCache.kll(sk).quantile(q))
     r.register("kll_rank",
@@ -359,4 +369,5 @@ object SketchCache {
   def sharded(b: Array[Byte]): graft.core.ShardedEbf =
     get(b, classOf[graft.core.ShardedEbf], graft.core.ShardedEbf.fromWire)
   def theta(b: Array[Byte]): Theta = get(b, classOf[Theta], Theta.fromBytes)
+  def dcms(b: Array[Byte]): DecayedCms = get(b, classOf[DecayedCms], DecayedCms.fromBytes)
 }

@@ -336,6 +336,22 @@ object SketchAggregators {
   // runner (O12). The buffer starts null (parameters come from the
   // first sketch seen), which Kryo round-trips fine.
 
+  /** O68: exponentially time-decayed CMS build — (key, eventTime
+    * seconds) pairs; null key or time skipped, mirroring the other
+    * aggregators. lambda is fixed at registration (ln 2 / halfLife). */
+  final class DecayedCmsAgg(depth: Int, width: Int, seed: Long, lambda: Double)
+      extends Aggregator[(String, java.lang.Double), DecayedCms, Array[Byte]] {
+    def zero: DecayedCms = DecayedCms.empty(depth, width, seed, lambda = lambda)
+    def reduce(b: DecayedCms, in: (String, java.lang.Double)): DecayedCms = {
+      if (in._1 != null && in._2 != null) b.add(in._1, in._2.doubleValue())
+      b
+    }
+    def merge(a: DecayedCms, b: DecayedCms): DecayedCms = a.merge(b)
+    def finish(b: DecayedCms): Array[Byte] = b.toBytes
+    def bufferEncoder: Encoder[DecayedCms] = Encoders.kryo[DecayedCms]
+    def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
   sealed class BytesMergeAgg[S <: AnyRef : ClassTag](
       from: Array[Byte] => S,
       mrg: (S, S) => S,
@@ -363,4 +379,6 @@ object SketchAggregators {
       extends BytesMergeAgg[FreqSketch](FreqSketch.fromBytes, _ merge _, _.toBytes)
   final class ThetaMergeAgg
       extends BytesMergeAgg[Theta](Theta.fromBytes, _ merge _, _.toBytes)
+  final class DecayedCmsMergeAgg
+      extends BytesMergeAgg[DecayedCms](DecayedCms.fromBytes, _ merge _, _.toBytes)
 }

@@ -233,6 +233,40 @@ object SketchQueries {
         .orderBy("token")
     },
 
+    // O68: exponentially time-decayed heavy hitters ("trending now"):
+    // token events at one-minute spacing, 1-hour half-life; the exact
+    // decayed mass per token (sum of exp(-lambda*age)) is computed by
+    // BOTH engines and ranks the top-10; the decayed-CMS estimate —
+    // built per-partition and MERGED, so the value-associativity of
+    // the rescaling merge is on the gate path — must over-estimate
+    // each exact mass (cells only add non-negative weight) and sit
+    // within eps * total decayed mass (x1.5 float slack).
+    "decayed_topk_check" -> { (s, dir) =>
+      Graft.ensure(s)
+      val lambda = math.log(2.0) / 3600.0
+      val ev = docs(s, dir).select(col("doc_id"),
+          (lit(1700000000L) + col("doc_id") * 60L).cast("double").as("ts"),
+          explode(split(col("text"), " ")).as("token"))
+        .filter(col("token") =!= "")
+      val tNow = ev.agg(max("ts")).head.getDouble(0)
+      val top = ev.groupBy("token")
+        .agg(sum(exp((col("ts") - lit(tNow)) * lambda)).as("mass"))
+        .orderBy(col("mass").desc, col("token")).limit(10).collect()
+      val skBytes = ev.groupBy(pmod(col("doc_id"), lit(4)))
+        .agg(expr("dcms_agg(token, ts)").as("sk"))
+        .agg(expr("dcms_merge_agg(sk)")).head.getAs[Array[Byte]](0)
+      val d = graft.core.DecayedCms.fromBytes(skBytes)
+      val totalMass = d.totalAt(tNow)
+      import s.implicits._
+      top.toSeq.zipWithIndex.map { case (r, i) =>
+        val mass = r.getDouble(1)
+        val est = d.estimate(r.getString(0), tNow)
+        (i + 1L, r.getString(0),
+          est >= mass * (1 - 1e-9),
+          est <= mass + 1.5 * d.eps * totalMass + 1e-6)
+      }.toDF("rank", "token", "over", "within_eps")
+    },
+
     // O66: equi-height histogram export from one mergeable KLL — the
     // ANALYZE-stats / CBO-histogram role without a sort. The 8-bucket
     // histogram of l_extendedprice comes off the sketch
@@ -675,6 +709,14 @@ object SketchQueries {
       ("SELECT lang, count(DISTINCT doc_id) AS ndv_exact, TRUE AS rewrite_fired, " +
         "TRUE AS est_equals_library_hll, TRUE AS within_bound " +
         "FROM documents GROUP BY lang ORDER BY lang"),
+    "decayed_topk_check" ->
+      ("WITH ev AS (SELECT 1700000000 + doc_id * 60 AS ts, " +
+        "unnest(string_split(text, ' ')) AS token FROM documents), " +
+        "mx AS (SELECT max(ts) AS t FROM ev), " +
+        "m AS (SELECT token, sum(exp(ln(2) / 3600.0 * (ts - mx.t))) AS mass " +
+        "FROM ev, mx WHERE token <> '' GROUP BY token) " +
+        "SELECT row_number() OVER (ORDER BY mass DESC, token) AS rank, token, " +
+        "TRUE AS over, TRUE AS within_eps FROM m ORDER BY mass DESC, token LIMIT 10"),
     "kll_histogram_check" ->
       ("SELECT CAST(g AS INT) AS bucket, (SELECT count(*) FROM lineitem) AS n_total, " +
         "TRUE AS equi_height_within_bound, TRUE AS est_matches_exact_within_bound, " +
