@@ -626,6 +626,58 @@ object PipelineQueries {
         .toDF("lang", "ebf_equal", "hll_equal", "cms_equal", "theta_equal")
     },
 
+    // O69: trending on a STREAM — the time-decayed CMS (O68) built
+    // incrementally over micro-batches must agree with the one-shot
+    // batch build. The decayed merge is value-associative but NOT
+    // byte-stable (floating rescale), so unlike the byte-equality
+    // gate above this one compares what the sketch is FOR: top-token
+    // decayed-mass estimates, gated to relative 1e-9 — the bound the
+    // core spec proves for any merge tree. At continuous ingest the
+    // sketch never grows (fixed d*w doubles) and old mass ages out
+    // arithmetically — no retention job.
+    "stream_decayed_trending_check" -> { (s, dir) =>
+      Graft.ensure(s)
+      val tmp = java.nio.file.Files.createTempDirectory("graft_stream_dcms").toString
+      val rows =
+        try {
+          val ev = docs(s, dir).select(col("doc_id"),
+              (lit(1700000000L) + col("doc_id") * 60L).cast("double").as("ts"),
+              explode(split(col("text"), " ")).as("token"))
+            .filter(col("token") =!= "")
+          ev.repartition(4).write.mode("overwrite").parquet(tmp)
+          val staged = s.read.parquet(tmp)
+          val qname = "graft_stream_dcms_" + java.util.UUID.randomUUID.toString.replace("-", "")
+          val q = s.readStream.schema(staged.schema)
+            .option("maxFilesPerTrigger", "1").parquet(tmp)
+            .agg(expr("dcms_agg(token, ts)").as("sk"))
+            .writeStream.outputMode("complete").format("memory").queryName(qname)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+          try {
+            q.awaitTermination()
+            val streamed = graft.core.DecayedCms.fromBytes(
+              s.table(qname).head.getAs[Array[Byte]](0))
+            val batch = graft.core.DecayedCms.fromBytes(
+              staged.agg(expr("dcms_agg(token, ts)")).head.getAs[Array[Byte]](0))
+            val tNow = staged.agg(max("ts")).head.getDouble(0)
+            val top = staged.groupBy("token").agg(count(lit(1)).as("n"))
+              .orderBy(col("n").desc, col("token")).limit(5)
+              .collect().map(_.getString(0))
+            top.toSeq.map { tok =>
+              val a = streamed.estimate(tok, tNow)
+              val b = batch.estimate(tok, tNow)
+              (tok,
+                math.abs(a - b) <= 1e-9 * math.max(b, 1.0),
+                math.abs(streamed.totalAt(tNow) - batch.totalAt(tNow)) <=
+                  1e-9 * math.max(batch.totalAt(tNow), 1.0))
+            }
+          } finally s.catalog.dropTempView(qname)
+        } finally graft.util.GraftFiles.deleteRecursively(tmp)
+      import s.implicits._
+      rows.map(r => (r._1, r._2, r._3))
+        .toDF("token", "estimate_equal", "total_mass_equal")
+        .orderBy("token")
+    },
+
     // O62: streaming exact dedup — the continuous-ingest form of O22's
     // batch dedup. Every third doc is planted twice with a later
     // arrival time, the stream is replayed one file per micro-batch
@@ -943,6 +995,11 @@ object PipelineQueries {
     "stream_dedup_check" ->
       ("SELECT doc_id, TRUE AS input_had_dupes, TRUE AS stream_equals_batch " +
         "FROM documents ORDER BY doc_id"),
+    "stream_decayed_trending_check" ->
+      ("SELECT token, TRUE AS estimate_equal, TRUE AS total_mass_equal FROM (" +
+        "SELECT token, count(*) AS n FROM (SELECT unnest(string_split(text, ' ')) " +
+        "AS token FROM documents) WHERE token <> '' GROUP BY token " +
+        "ORDER BY n DESC, token LIMIT 5) ORDER BY token"),
     "stream_join_check" ->
       ("SELECT doc_id, lang, 'label_' || CAST(doc_id % 7 AS VARCHAR) AS label, " +
         "TRUE AS stream_equals_batch FROM documents WHERE doc_id % 2 = 0 " +
