@@ -638,6 +638,8 @@ object PipelineQueries {
     "stream_decayed_trending_check" -> { (s, dir) =>
       Graft.ensure(s)
       val tmp = java.nio.file.Files.createTempDirectory("graft_stream_dcms").toString
+      // state-store width pinned for the stream (see stream_join_check)
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
       val rows =
         try {
           val ev = docs(s, dir).select(col("doc_id"),
@@ -646,6 +648,7 @@ object PipelineQueries {
             .filter(col("token") =!= "")
           ev.repartition(4).write.mode("overwrite").parquet(tmp)
           val staged = s.read.parquet(tmp)
+          s.conf.set("spark.sql.shuffle.partitions", "4")
           val qname = "graft_stream_dcms_" + java.util.UUID.randomUUID.toString.replace("-", "")
           val q = s.readStream.schema(staged.schema)
             .option("maxFilesPerTrigger", "1").parquet(tmp)
@@ -671,7 +674,10 @@ object PipelineQueries {
                   1e-9 * math.max(batch.totalAt(tNow), 1.0))
             }
           } finally s.catalog.dropTempView(qname)
-        } finally graft.util.GraftFiles.deleteRecursively(tmp)
+        } finally {
+          s.conf.set("spark.sql.shuffle.partitions", prevParts)
+          graft.util.GraftFiles.deleteRecursively(tmp)
+        }
       import s.implicits._
       rows.map(r => (r._1, r._2, r._3))
         .toDF("token", "estimate_equal", "total_mass_equal")
@@ -692,6 +698,8 @@ object PipelineQueries {
     "stream_dedup_check" -> { (s, dir) =>
       Graft.ensure(s)
       val tmp = java.nio.file.Files.createTempDirectory("graft_stream_dedup").toString
+      // state-store width pinned for the stream (see stream_join_check)
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
       val rows =
         try {
           val base = docs(s, dir).select(col("doc_id"),
@@ -700,6 +708,7 @@ object PipelineQueries {
             .withColumn("ts", col("ts") + expr("INTERVAL 90 SECONDS"))
           base.union(dupes).repartition(4).write.mode("overwrite").parquet(tmp)
           val staged = s.read.parquet(tmp)
+          s.conf.set("spark.sql.shuffle.partitions", "4")
           val qname = "graft_stream_dedup_" + java.util.UUID.randomUUID.toString.replace("-", "")
           val q = s.readStream.schema(staged.schema)
             .option("maxFilesPerTrigger", "1").parquet(tmp)
@@ -722,7 +731,10 @@ object PipelineQueries {
                 lit(equal).as("stream_equals_batch"))
               .orderBy("doc_id").collect().toSeq
           } finally s.catalog.dropTempView(qname)
-        } finally graft.util.GraftFiles.deleteRecursively(tmp)
+        } finally {
+          s.conf.set("spark.sql.shuffle.partitions", prevParts)
+          graft.util.GraftFiles.deleteRecursively(tmp)
+        }
       import s.implicits._
       rows.map(r => (r.getLong(0), r.getBoolean(1), r.getBoolean(2)))
         .toDF("doc_id", "input_had_dupes", "stream_equals_batch")
