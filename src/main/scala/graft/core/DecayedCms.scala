@@ -30,6 +30,13 @@ package graft.core
   * Wire format (DCM1): magic, depth, width, seed, lambda, t0, total,
   * then the d*w cell doubles. Hashing is the library's [[Hash128]]
   * row derivation, identical to [[Cms]].
+  *
+  * Sizing note: cells are dense doubles (80 KB at the 5x2048
+  * default), sized for GLOBAL or coarse-group trending. Using it as a
+  * per-group aggregate at 10^6+ group cardinality would want the
+  * sparse-start treatment [[Cms]] got (O44) — not built because no
+  * current workload groups it finely; recorded here rather than
+  * silently assumed away.
   */
 final class DecayedCms(var depth: Int, var width: Int, var seed: Long,
                        var lambda: Double) extends BytesSerde {
