@@ -56,8 +56,19 @@ object SketchIndex {
     * this touches just the appended files (the file list comes from
     * the dataset's own listing; the anti-join against the existing
     * sidecar is driver-free and broadcast-size). Stats for already-
-    * indexed files are reused byte-for-byte, so lookups through the
-    * refreshed index are identical to a full rebuild (spec-asserted).
+    * indexed files are reused as-is, so lookups through the refreshed
+    * index are identical to a full rebuild (spec-asserted via a
+    * tamper-survival proof — byte comparison alone can't distinguish
+    * reuse from a deterministic rebuild).
+    *
+    * CONTRACT: `existing` must be a STORED sidecar — a frame whose
+    * lineage does NOT read `path` (read it back from its own table).
+    * A merely `.cache()`d build over `path` is silently REFRESHED by
+    * Spark's cache invalidation when the append is written, which
+    * degrades this call to a full rebuild with no error (measured —
+    * see the gate query's history in PLANS.md PLAN33). That matches
+    * real deployments anyway: the sidecar's whole point is to be a
+    * persisted table that outlives the job that built it.
     */
   def update(spark: SparkSession, path: String, keyName: String,
              existing: DataFrame): DataFrame = {

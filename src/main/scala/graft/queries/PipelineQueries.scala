@@ -468,6 +468,63 @@ object PipelineQueries {
       } finally graft.util.GraftFiles.deleteRecursively(tmp)
     },
 
+    // O70: the daily-append lifecycle composed end-to-end — the way a
+    // 100 TB corpus actually grows: day 1 is written range-clustered
+    // and its sidecar STORED as a table (the update() contract); day 2
+    // APPENDS and SketchIndex.update refreshes the sidecar scanning
+    // ONLY the new files (true reuse is proven by the spec's tamper-
+    // survival test — determinism makes byte comparison vacuous here);
+    // gated: file counts 4 -> 8, a second update is a no-op, a narrow
+    // id band plans fewer files than exist, and a point lookup
+    // spanning both days returns EXACTLY what a full scan of the
+    // union would — DuckDB recomputes the rows from the raw table.
+    "incremental_corpus_check" -> { (s, dir) =>
+      Graft.ensure(s)
+      val d = docs(s, dir).select(col("doc_id"), col("n_chars"))
+      val n = d.count()
+      val tmp = java.nio.file.Files.createTempDirectory("graft_incr").toString
+      val side = java.nio.file.Files.createTempDirectory("graft_incr_side").toString
+      try {
+        val day1 = d.filter(col("doc_id") * 2 < lit(n))
+        val day2 = d.filter(col("doc_id") * 2 >= lit(n))
+        day1.repartitionByRange(4, col("doc_id")).write.mode("overwrite").parquet(tmp)
+        // the sidecar is a STORED table (update()'s contract: a cached
+        // build over tmp would be recache-refreshed to a full rebuild
+        // by the append — scaladoc + PLAN33)
+        SketchIndex.build(s, tmp, "doc_id").write.mode("overwrite").parquet(side)
+        val idx1 = s.read.parquet(side)
+        val n1 = idx1.count()
+        day2.repartitionByRange(4, col("doc_id")).write.mode("append").parquet(tmp)
+        val idx2 = SketchIndex.update(s, tmp, "doc_id", idx1).cache()
+        val n2 = idx2.count()
+        // a second update sees no new files and is a no-op
+        val n3 = SketchIndex.update(s, tmp, "doc_id", idx2).count()
+        // broad probes spanning both days + one absent: exactness
+        val probes = s.range(0, n, math.max(1L, n / 40))
+          .select(col("id").as("doc_id"))
+          .union(s.range(1).select(lit(999999999L).as("doc_id")))
+        // narrow band: pruning (a handful of consecutive ids live in
+        // one or two range files per day-half)
+        val narrow = s.range(0, math.max(2L, n / 50)).select(col("id").as("doc_id"))
+        val nCandNarrow = SketchIndex.candidates(idx2, narrow).count()
+        val out = SketchIndex.lookup(s, tmp, idx2, "doc_id", probes)
+          .select(col("doc_id"), col("n_chars"),
+            lit(n1 == 4L && n2 == 8L).as("file_counts_right"),
+            lit(n3 == n2).as("second_update_noop"),
+            lit(nCandNarrow < n2).as("narrow_band_pruned"))
+          .orderBy("doc_id").collect()
+        idx2.unpersist()
+        import s.implicits._
+        out.toSeq.map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2),
+            r.getBoolean(3), r.getBoolean(4)))
+          .toDF("doc_id", "n_chars", "file_counts_right",
+            "second_update_noop", "narrow_band_pruned")
+      } finally {
+        graft.util.GraftFiles.deleteRecursively(tmp)
+        graft.util.GraftFiles.deleteRecursively(side)
+      }
+    },
+
     // O63: z-order clustering vs linear sort for multi-column data
     // skipping. The same orders projection is written twice — linearly
     // range-clustered by o_custkey (O32) and z-ordered on
@@ -1024,6 +1081,11 @@ object PipelineQueries {
         "WHERE window_start + 600 <= " +
         "(SELECT max(1700000000 + doc_id * 60) - 600 FROM documents) " +
         "ORDER BY window_start"),
+    "incremental_corpus_check" ->
+      ("SELECT doc_id, n_chars, TRUE AS file_counts_right, " +
+        "TRUE AS second_update_noop, TRUE AS narrow_band_pruned FROM documents " +
+        "WHERE doc_id % (SELECT greatest(1, count(*) // 40) FROM documents) = 0 " +
+        "ORDER BY doc_id"),
     "zorder_skipping_check" ->
       ("SELECT count(*) AS n_band, round(sum(o_totalprice), 2) AS sum_band, " +
         "TRUE AS rows_conserved, TRUE AS z_files_pruned_2d, " +

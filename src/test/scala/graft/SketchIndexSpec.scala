@@ -96,11 +96,20 @@ class SketchIndexSpec extends AnyFunSuite {
     }
   }
 
-  test("incremental update indexes only appended files; lookups match a full rebuild") {
+  test("incremental update scans only appended files; lookups match a full rebuild") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_si_upd").toString
+    val sideTmp = java.nio.file.Files.createTempDirectory("graft_si_side").toString
     try {
       dataset.repartitionByRange(8, col("k")).write.mode("overwrite").parquet(tmp)
-      val idx0 = SketchIndex.build(spark, tmp, "k").cache()
+      // the CONTRACT: the sidecar is a STORED table (a cached build
+      // over `tmp` would be silently recached to a full rebuild by
+      // the append below — see update()'s scaladoc)
+      SketchIndex.build(spark, tmp, "k").write.mode("overwrite").parquet(sideTmp)
+      // tamper one day-1 row: if update truly REUSES existing rows,
+      // the tamper survives; a rebuild would erase it (deterministic
+      // builds make byte-comparison alone unable to prove reuse)
+      val idx0 = spark.read.parquet(sideTmp)
+        .withColumn("rows", when(col("mn") === 0L, lit(424242L)).otherwise(col("rows")))
       val files0 = idx0.count()
       // no new files -> the same frame comes back untouched
       assert(SketchIndex.update(spark, tmp, "k", idx0).count() == files0)
@@ -111,8 +120,11 @@ class SketchIndexSpec extends AnyFunSuite {
       val rebuilt = SketchIndex.build(spark, tmp, "k").cache()
       assert(updated.count() == files0 + 3, s"expected ${files0 + 3} files, got ${updated.count()}")
       assert(updated.count() == rebuilt.count())
-      // stats identical to the rebuild file-for-file (sketches included)
+      // the tampered day-1 row survived: update did NOT rescan it
+      assert(updated.filter(col("rows") === 424242L).count() == 1L)
+      // every other row identical to the rebuild file-for-file
       val mismatch = updated.as("u").join(rebuilt.as("r"), "file")
+        .filter(col("u.rows") =!= lit(424242L))
         .filter(col("u.rows") =!= col("r.rows") || col("u.mn") =!= col("r.mn") ||
           col("u.mx") =!= col("r.mx") || col("u.sk") =!= col("r.sk")).count()
       assert(mismatch == 0L)
@@ -125,7 +137,10 @@ class SketchIndexSpec extends AnyFunSuite {
         .orderBy("k").collect()
       assert(viaUpdated.toSeq === viaRebuilt.toSeq)
       assert(viaUpdated.map(_.getAs[Long]("k")).toSeq === Seq(4L, 9002L, 9998L))
-      idx0.unpersist(); updated.unpersist(); rebuilt.unpersist()
-    } finally graft.util.GraftFiles.deleteRecursively(tmp)
+      updated.unpersist(); rebuilt.unpersist()
+    } finally {
+      graft.util.GraftFiles.deleteRecursively(tmp)
+      graft.util.GraftFiles.deleteRecursively(sideTmp)
+    }
   }
 }
