@@ -267,6 +267,42 @@ object SketchQueries {
       }.toDF("rank", "token", "over", "within_eps")
     },
 
+    // O68 in the GROUPED pattern every other sketch supports: one
+    // decayed sketch per lang (partial-aggregated map-side like any
+    // UDAF), per-lang trending estimates gated over + within-eps
+    // against per-lang exact decayed masses; membership and ranking
+    // DuckDB-anchored. At 10^5 coarse groups this is the shape of a
+    // "trending per community" job — one pass, no per-key time series.
+    "decayed_by_group_check" -> { (s, dir) =>
+      Graft.ensure(s)
+      val lambda = math.log(2.0) / 3600.0
+      val ev = docs(s, dir).select(col("lang"),
+          (lit(1700000000L) + col("doc_id") * 60L).cast("double").as("ts"),
+          explode(split(col("text"), " ")).as("token"))
+        .filter(col("token") =!= "")
+      val tNow = ev.agg(max("ts")).head.getDouble(0)
+      val exact = ev.groupBy("lang", "token")
+        .agg(sum(exp((col("ts") - lit(tNow)) * lambda)).as("mass"))
+      import org.apache.spark.sql.expressions.Window
+      val top3 = exact.withColumn("rk", row_number().over(
+          Window.partitionBy("lang").orderBy(col("mass").desc, col("token"))))
+        .filter(col("rk") <= 3)
+        .select("lang", "rk", "token", "mass").collect()
+        .map(r => (r.getString(0), r.getInt(1)) -> (r.getString(2), r.getDouble(3))).toMap
+      val sks = ev.groupBy("lang").agg(expr("dcms_agg(token, ts)").as("sk"))
+        .collect().map(r => r.getString(0) -> graft.core.DecayedCms.fromBytes(
+          r.getAs[Array[Byte]](1))).toMap
+      import s.implicits._
+      top3.toSeq.sortBy { case ((lang, rk), _) => (lang, rk) }.map {
+        case ((lang, rk), (token, mass)) =>
+          val d = sks(lang)
+          val est = d.estimate(token, tNow)
+          (lang, rk, token,
+            est >= mass * (1 - 1e-9),
+            est <= mass + 1.5 * d.eps * d.totalAt(tNow) + 1e-6)
+      }.toDF("lang", "rk", "token", "over", "within_eps")
+    },
+
     // O66: equi-height histogram export from one mergeable KLL — the
     // ANALYZE-stats / CBO-histogram role without a sort. The 8-bucket
     // histogram of l_extendedprice comes off the sketch
@@ -717,6 +753,16 @@ object SketchQueries {
         "FROM ev, mx WHERE token <> '' GROUP BY token) " +
         "SELECT row_number() OVER (ORDER BY mass DESC, token) AS rank, token, " +
         "TRUE AS over, TRUE AS within_eps FROM m ORDER BY mass DESC, token LIMIT 10"),
+    "decayed_by_group_check" ->
+      ("WITH ev AS (SELECT lang, 1700000000 + doc_id * 60 AS ts, " +
+        "unnest(string_split(text, ' ')) AS token FROM documents), " +
+        "mx AS (SELECT max(ts) AS t FROM ev), " +
+        "m AS (SELECT lang, token, sum(exp(ln(2) / 3600.0 * (ts - mx.t))) AS mass " +
+        "FROM ev, mx WHERE token <> '' GROUP BY lang, token), " +
+        "r AS (SELECT lang, token, mass, row_number() OVER " +
+        "(PARTITION BY lang ORDER BY mass DESC, token) AS rk FROM m) " +
+        "SELECT lang, CAST(rk AS INT) AS rk, token, TRUE AS over, TRUE AS within_eps " +
+        "FROM r WHERE rk <= 3 ORDER BY lang, rk"),
     "kll_histogram_check" ->
       ("SELECT CAST(g AS INT) AS bucket, (SELECT count(*) FROM lineitem) AS n_total, " +
         "TRUE AS equi_height_within_bound, TRUE AS est_matches_exact_within_bound, " +

@@ -69,4 +69,16 @@ class SketchCacheSpec extends AnyFunSuite {
     val b = t.toBytes
     assert(SketchCache.theta(b) eq SketchCache.theta(b))
   }
+
+  test("decayed sketch: cached getter + type token hold for the new type too") {
+    val d = graft.core.DecayedCms.empty(lambda = math.log(2.0) / 3600.0)
+    (1 to 50).foreach(i => d.add(s"v$i", 1700000000.0 + i))
+    val b = d.toBytes
+    assert(SketchCache.dcms(b) eq SketchCache.dcms(b))
+    // probing decayed bytes as a plain CMS must fail on the wire
+    // magic, not serve the cached DecayedCms through a bad cast
+    val err = intercept[Exception] { SketchCache.cms(b) }
+    assert(err.getMessage != null)
+    assert(SketchCache.dcms(b).estimate("v50", 1700000050.0) >= 0.9)
+  }
 }
