@@ -884,14 +884,26 @@ object PipelineQueries {
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
       val rows =
         try {
+          // sequential ascending time slices per side: disorder across
+          // micro-batches stays below the watermark at ANY scale
+          // factor (random file partitioning was correct at sf0.01
+          // only because the 500 s span happened to fit the 10 min
+          // delay — at sf0.1 it silently dropped late rows)
           val base = docs(s, dir).select(col("doc_id"), col("lang"),
             timestamp_seconds(lit(1700000000L) + col("doc_id")).as("ts"))
-          base.repartition(2).write.mode("overwrite").parquet(tmpL)
-          base.filter(col("doc_id") % 2 === 0)
+          val nDocs = base.count()
+          val anns = base.filter(col("doc_id") % 2 === 0)
             .select(col("doc_id").as("ann_id"),
               (col("ts") + expr("INTERVAL 60 SECONDS")).as("ann_ts"),
               concat(lit("label_"), col("doc_id") % 7).as("label"))
-            .repartition(2).write.mode("overwrite").parquet(tmpR)
+          for (i <- 0L until 2L) {
+            def slice(c: org.apache.spark.sql.Column) =
+              c * 2 >= lit(i * nDocs) && c * 2 < lit((i + 1) * nDocs)
+            base.filter(slice(col("doc_id"))).coalesce(1)
+              .write.mode(if (i == 0L) "overwrite" else "append").parquet(tmpL)
+            anns.filter(slice(col("ann_id"))).coalesce(1)
+              .write.mode(if (i == 0L) "overwrite" else "append").parquet(tmpR)
+          }
           // state-store width is fixed at stream START from
           // spark.sql.shuffle.partitions; 32 state partitions x
           // per-micro-batch overhead dominates this machinery-bound
