@@ -51,7 +51,8 @@ object Graft {
       val natives = Seq(
         graft.plans.Hash128Expr.sqlDescriptor("graft_hash128_h1", 0),
         graft.plans.Hash128Expr.sqlDescriptor("graft_hash128_h2", 1),
-        graft.plans.GraftShardExpr.sqlDescriptor)
+        graft.plans.GraftShardExpr.sqlDescriptor,
+        graft.plans.ZOrderKeyExpr.sqlDescriptor)
       for ((id, info, builder) <- natives)
         org.apache.spark.sql.graftshim.FunctionShim.register(spark, id.funcName, info, builder)
       spark.conf.set("graft.registered", "true")

@@ -159,5 +159,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(Hash128Expr.sqlDescriptor("graft_hash128_h1", 0))
     ext.injectFunction(Hash128Expr.sqlDescriptor("graft_hash128_h2", 1))
     ext.injectFunction(GraftShardExpr.sqlDescriptor)
+    ext.injectFunction(ZOrderKeyExpr.sqlDescriptor)
   }
 }

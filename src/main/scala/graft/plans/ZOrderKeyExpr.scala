@@ -114,4 +114,33 @@ case class ZOrderKeyExpr(children: Seq[Expression], bits: Int) extends Expressio
 object ZOrderKeyExpr {
   def column(buckets: Seq[Column], bits: Int): Column =
     ColumnBridge.column(ZOrderKeyExpr(buckets.map(ColumnBridge.expression), bits))
+
+  /** SQL registration triple for
+    * `graft_zorder_key(bucket1, bucket2[, ...], bits)` — the LAST
+    * argument is the foldable per-dimension bit width, everything
+    * before it an INT bucket id (the SQL twin of the Column API;
+    * shared by `GraftExtensions` and `Graft.ensure`). */
+  def sqlDescriptor: (
+      org.apache.spark.sql.catalyst.FunctionIdentifier,
+      org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+      Seq[Expression] => Expression) = {
+    val builder = (args: Seq[Expression]) => {
+      if (args.size < 3) throw new IllegalArgumentException(
+        s"graft_zorder_key expects (bucket1, bucket2, ..., bits literal), got ${args.size} args")
+      val bitsExpr = args.last
+      if (!bitsExpr.foldable) throw new IllegalArgumentException(
+        "graft_zorder_key bits must be a foldable integral literal")
+      val bits = bitsExpr.eval() match {
+        case i: java.lang.Integer => i.intValue()
+        case l: java.lang.Long => l.intValue()
+        case other => throw new IllegalArgumentException(
+          s"graft_zorder_key bits must be an integral literal, got $other")
+      }
+      ZOrderKeyExpr(args.init, bits)
+    }
+    (org.apache.spark.sql.catalyst.FunctionIdentifier("graft_zorder_key"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[ZOrderKeyExpr].getName, "graft_zorder_key"),
+      builder)
+  }
 }

@@ -78,6 +78,22 @@ class ZOrderSpec extends AnyFunSuite {
     assert(withNull(1).isNullAt(0) && withNull(2).isNullAt(0))
   }
 
+  test("SQL form graft_zorder_key matches the Column API; bad arity fails loudly") {
+    graft.functions.Graft.ensure(spark)
+    import spark.implicits._
+    val rows = Seq((3, 7), (255, 0), (128, 64))
+    val viaSql = rows.toDF("a", "b")
+      .selectExpr("graft_zorder_key(a, b, 8) AS z").collect().map(_.getLong(0))
+    val viaCol = rows.toDF("a", "b")
+      .select(graft.plans.ZOrderKeyExpr.column(Seq(col("a"), col("b")), 8).as("z"))
+      .collect().map(_.getLong(0))
+    assert(viaSql.toSeq == viaCol.toSeq)
+    val err = intercept[Exception] {
+      rows.toDF("a", "b").selectExpr("graft_zorder_key(a, 8)").collect()
+    }
+    assert(err.getMessage != null)
+  }
+
   test("z layout: cells disjoint, both dims narrow; linear layout wide on dim 2") {
     import spark.implicits._
     // deterministic 2-D uniform grid, shuffled ordering
