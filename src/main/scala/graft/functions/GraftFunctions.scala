@@ -46,6 +46,13 @@ object Graft {
         spark.experimental.extraOptimizations =
           spark.experimental.extraOptimizations :+ graft.plans.ApproxDistinctRewriteRule
       }
+      // opt-in exact percentile/median -> KLL estimate (fires only when
+      // spark.graft.approxPercentile.enabled=true; CHANGES RESULTS to a
+      // rank-bounded estimate — see ApproxPercentileRewriteRule)
+      if (!spark.experimental.extraOptimizations.contains(graft.plans.ApproxPercentileRewriteRule)) {
+        spark.experimental.extraOptimizations =
+          spark.experimental.extraOptimizations :+ graft.plans.ApproxPercentileRewriteRule
+      }
       // native codegen'd SQL expressions (the UDF registry can't host
       // Expression builders; goes through the sessionState shim)
       val natives = Seq(

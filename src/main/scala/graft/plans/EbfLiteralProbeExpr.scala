@@ -156,6 +156,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => ReplaceLiteralEbfProbe)
     ext.injectOptimizerRule(_ => EbfJoinPruneRule)
     ext.injectOptimizerRule(_ => ApproxDistinctRewriteRule)
+    ext.injectOptimizerRule(_ => ApproxPercentileRewriteRule)
     ext.injectFunction(Hash128Expr.sqlDescriptor("graft_hash128_h1", 0))
     ext.injectFunction(Hash128Expr.sqlDescriptor("graft_hash128_h2", 1))
     ext.injectFunction(GraftShardExpr.sqlDescriptor)

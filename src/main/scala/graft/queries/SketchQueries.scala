@@ -381,6 +381,55 @@ object SketchQueries {
       }.toDF("lang", "ndv_exact", "rewrite_fired", "est_equals_library_hll", "within_bound")
     },
 
+    // O71: opt-in exact percentile/median -> KLL rewrite, driver-gated
+    // like O64: (a) rule off by default and the exact percentiles
+    // DuckDB-matched (quantile_cont shares Spark's p*(n-1) linear
+    // interpolation); (b) with spark.graft.approxPercentile.enabled the
+    // optimized plan carries KllQuantileAggExpr; (c) each estimate's
+    // EXACT rank sits within the published KLL rank error (the suite's
+    // 2x deterministic-compaction margin — kll_rank_bound_check
+    // convention). Exact Percentile buffers every distinct value per
+    // group; the rewrite holds a ~1KB sketch instead — the 100TB lever.
+    "approx_percentile_rewrite_check" -> { (s, dir) =>
+      Graft.ensure(s)
+      val d = docs(s, dir)
+      val exact = d.groupBy("lang").agg(
+        expr("percentile(n_chars, 0.5D)").as("p50_exact"),
+        expr("percentile(n_chars, 0.95D)").as("p95_exact"))
+      require(!exact.queryExecution.optimizedPlan.expressions.exists(_.exists(
+        _.isInstanceOf[graft.plans.KllQuantileAggExpr])),
+        "rule must be off by default")
+      val exactRows = exact.collect()
+        .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+      s.conf.set("spark.graft.approxPercentile.enabled", "true")
+      val (estRows, fired) =
+        try {
+          val est = d.groupBy("lang").agg(
+            expr("percentile(n_chars, 0.5D)").as("p50_est"),
+            expr("percentile(n_chars, 0.95D)").as("p95_est"))
+          val f = est.queryExecution.optimizedPlan.expressions.exists(_.exists(
+            _.isInstanceOf[graft.plans.KllQuantileAggExpr]))
+          (est.collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap, f)
+        } finally s.conf.unset("spark.graft.approxPercentile.enabled")
+      // exact rank of each estimate, one distributed pass over documents
+      val langs = exactRows.keys.toSeq.sorted
+      val rankAggs = langs.flatMap { lang =>
+        def rankOf(v: Double, tag: String) =
+          (sum(when(col("lang") === lang && col("n_chars") <= v, 1L).otherwise(0L)) /
+            sum(when(col("lang") === lang, 1L).otherwise(0L))).as(s"$tag$lang")
+        Seq(rankOf(estRows(lang)._1, "r50_"), rankOf(estRows(lang)._2, "r95_"))
+      }
+      val row = d.agg(rankAggs.head, rankAggs.tail: _*).head
+      val eps = Kll.empty().normalizedRankError * 2.0
+      import s.implicits._
+      langs.zipWithIndex.map { case (lang, i) =>
+        (lang, exactRows(lang)._1, exactRows(lang)._2, fired,
+          math.abs(row.getDouble(2 * i) - 0.5) <= eps,
+          math.abs(row.getDouble(2 * i + 1) - 0.95) <= eps)
+      }.toDF("lang", "p50_exact", "p95_exact", "rewrite_fired",
+        "p50_within_bound", "p95_within_bound")
+    },
+
     // O56: CMS heavy-change detection (Cormode-Muthukrishnan's "what's
     // new" question): the tokens whose frequency moved most between two
     // corpus halves, from TWO mergeable 230KB sketches instead of two
@@ -744,6 +793,11 @@ object SketchQueries {
     "approx_distinct_rewrite_check" ->
       ("SELECT lang, count(DISTINCT doc_id) AS ndv_exact, TRUE AS rewrite_fired, " +
         "TRUE AS est_equals_library_hll, TRUE AS within_bound " +
+        "FROM documents GROUP BY lang ORDER BY lang"),
+    "approx_percentile_rewrite_check" ->
+      ("SELECT lang, quantile_cont(n_chars, 0.5) AS p50_exact, " +
+        "quantile_cont(n_chars, 0.95) AS p95_exact, TRUE AS rewrite_fired, " +
+        "TRUE AS p50_within_bound, TRUE AS p95_within_bound " +
         "FROM documents GROUP BY lang ORDER BY lang"),
     "decayed_topk_check" ->
       ("WITH ev AS (SELECT 1700000000 + doc_id * 60 AS ts, " +
