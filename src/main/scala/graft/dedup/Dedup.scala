@@ -89,6 +89,43 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
+  /** Winnowing (MOSS) near-dup candidate pairs: docs sharing at least
+    * `minShared` winnowed fingerprints (TextFunctions.winnowFingerprints
+    * — window-min md5 over character k-grams of normalized text).
+    *
+    * Complements MinHash/SimHash: those bucket on GLOBAL similarity
+    * (Jaccard / cosine of the whole doc); winnowing guarantees a shared
+    * fingerprint for any LOCAL substring match of length >= w + k - 1,
+    * so it catches partial-copy pairs (quoted passage, shared
+    * boilerplate block) whose global similarity is far below any LSH
+    * threshold.
+    *
+    * Scale shape: fingerprints explode to narrow (fp, id) rows, a
+    * map-side-combined count drops ubiquitous fingerprints (a
+    * fingerprint present in b docs emits b^2 candidate pairs — the
+    * stop-gram analogue every MOSS-style index applies; `maxBucket`
+    * caps b), then a self-join per fingerprint and a pair-count
+    * groupBy. Same bucketize-without-payload shape as minhashPairs:
+    * candidates are bounded by per-fingerprint bucket DENSITY, never
+    * O(n^2); hot fingerprints are plain equi-join keys, so AQE skew
+    * split applies. */
+  def winnowPairs(df: DataFrame, textCol: String, idCol: String,
+                  k: Int = 16, w: Int = 8, minShared: Int = 2,
+                  maxBucket: Int = 50): DataFrame = {
+    val fpUdf = udf((text: String) => TextFunctions.winnowFingerprints(text, k, w))
+    val fps = df.select(col(idCol).as("id"), explode(fpUdf(col(textCol))).as("fp"))
+    val counts = fps.groupBy("fp").agg(count(lit(1)).as("bucket_n"))
+    val kept = fps.join(counts, "fp")
+      .filter(col("bucket_n") >= 2 && col("bucket_n") <= maxBucket)
+      .select(col("fp"), col("id"))
+    kept.select(col("fp"), col("id").as("id_a"))
+      .join(kept.select(col("fp"), col("id").as("id_b")), "fp")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared")) // fingerprints are distinct per doc
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Connected components over a near-dup pair graph: the transitive
     * closure every real dedup pipeline needs (pairwise candidates say
     * A~B and B~C; the corpus decision — one keeper per CLUSTER — needs

@@ -220,6 +220,93 @@ object TextFunctions {
     h
   }
 
+  /** First 16 hex chars (8 bytes) of the md5 of the UTF-8 text — the
+    * winnowing gram hash. md5, not Hash128: the same choice the
+    * md5-threshold sampling and PII oracles made, so the whole
+    * fingerprint construction is reproducible verbatim in any engine
+    * with md5 (the DuckDB oracle recomputes it exactly). */
+  private def md5Hex16(s: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(StandardCharsets.UTF_8))
+    val sb = new java.lang.StringBuilder(16)
+    var i = 0
+    while (i < 8) {
+      sb.append(Character.forDigit((d(i) >> 4) & 0xf, 16))
+      sb.append(Character.forDigit(d(i) & 0xf, 16))
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken 2003,
+    * the MOSS algorithm): hash every character k-gram of the
+    * normalized text (lowercased, non-alphanumerics stripped — the
+    * standard winnowing preprocessing), then keep the MINIMUM hash of
+    * each sliding window of w consecutive grams, distinct.
+    *
+    * The selection guarantee that makes this the local fingerprinting
+    * scheme: any substring match of length >= w + k - 1 between two
+    * documents yields at least one SHARED fingerprint (both windows
+    * over the common region select the same minimum), while expected
+    * density is only 2/(w+1) of the grams — position-robust overlap
+    * detection at a fraction of the full gram set, which is what the
+    * exact-shingle decontamination sweep cannot give under edits.
+    * Hash ties select one fingerprint VALUE regardless of position, so
+    * the distinct fingerprint SET is tie-order independent (the
+    * property the cross-engine oracle relies on).
+    *
+    * Defaults k=16, w=8: on a Zipf small-vocab corpus short grams are
+    * corpus-common and the window-min favors globally small hashes, so
+    * k=8 fingerprints mostly landed in ubiquitous buckets (measured:
+    * the bucket filter then broke planted recall); 16-char grams (~3
+    * tokens) are doc-specific, guarantee threshold w+k-1 = 23
+    * normalized chars, density 2/(w+1) ~ 22% of grams.
+    *
+    * Edge conventions (spec-pinned): null/empty-normalized -> empty;
+    * shorter than k -> the whole-text hash; fewer than w grams -> one
+    * fingerprint (min over all grams). O(p) via a monotonic deque.
+    * Per-row, no shuffle; ~p md5 calls per doc. */
+  def winnowFingerprints(text: String, k: Int = 16, w: Int = 8): Array[String] = {
+    require(k >= 1 && w >= 1, "k and w must be positive")
+    if (text == null) return Array.empty
+    val norm = normalizeAlnum(text)
+    if (norm.isEmpty) return Array.empty
+    if (norm.length < k) return Array(md5Hex16(norm))
+    val p = norm.length - k + 1
+    val grams = new Array[String](p)
+    var i = 0
+    while (i < p) { grams(i) = md5Hex16(norm.substring(i, i + k)); i += 1 }
+    val eff = math.min(w, p)
+    val out = new scala.collection.mutable.LinkedHashSet[String]
+    val dq = new java.util.ArrayDeque[Int]
+    i = 0
+    while (i < p) {
+      // pop >= (not >): on ties the min VALUE is unchanged either way
+      while (!dq.isEmpty && grams(dq.peekLast) >= grams(i)) dq.pollLast()
+      dq.addLast(i)
+      if (dq.peekFirst <= i - eff) dq.pollFirst()
+      if (i >= eff - 1) out += grams(dq.peekFirst)
+      i += 1
+    }
+    out.toArray
+  }
+
+  /** Winnowing preprocessing: lowercase, strip every non-alphanumeric
+    * (whitespace, punctuation, markup residue) so fingerprints survive
+    * reflowing/reformatting. ASCII-range semantics match Spark's
+    * lower() + regexp_replace and DuckDB's — the corpus is ASCII. */
+  def normalizeAlnum(text: String): String = {
+    val sb = new java.lang.StringBuilder(text.length)
+    var i = 0
+    while (i < text.length) {
+      val c = text.charAt(i)
+      if (c >= 'a' && c <= 'z' || c >= '0' && c <= '9') sb.append(c)
+      else if (c >= 'A' && c <= 'Z') sb.append((c + 32).toChar)
+      i += 1
+    }
+    sb.toString
+  }
+
   /** 64-bit SimHash over whitespace tokens (near-dup detection: small
     * Hamming distance ~ high cosine similarity of token sets). */
   def simhash(text: String): Long = {

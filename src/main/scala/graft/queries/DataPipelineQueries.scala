@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.dedup.Dedup
-import graft.functions.Graft
+import graft.functions.{Graft, TextFunctions}
 import graft.multimodal.Multimodal
 import graft.similarity.{Ann, Ivf}
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -124,6 +124,36 @@ object DataPipelineQueries {
       Dedup.ngramJaccardVerify(candidates, aug, "text", "doc_id")
         .select("id_a", "id_b", "est_jaccard", "jaccard")
         .orderBy("id_a", "id_b")
+    },
+
+    // O72: winnowing (MOSS) document fingerprints — window-min md5 over
+    // character 16-grams of the normalized text, w=8. VALUE-EXACT
+    // cross-engine gate: DuckDB reproduces the whole construction
+    // (normalize -> md5 k-grams -> window minima -> distinct) via list
+    // comprehensions, so every fingerprint of every 7th doc must match
+    // byte-for-byte. Tie positions don't matter: the distinct
+    // fingerprint SET is tie-order independent (kernel scaladoc).
+    "winnow_fingerprints" -> { (s, dir) =>
+      Graft.ensure(s)
+      val fpUdf = udf((t: String) => TextFunctions.winnowFingerprints(t, 16, 8))
+      docs(s, dir).filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id"), explode(fpUdf(col("text"))).as("fp"))
+        .orderBy("doc_id", "fp")
+    },
+
+    // Planted-recall gate for winnowPairs: every near-dup twin (text +
+    // " zzmut", which only perturbs the trailing grams) must share >=
+    // minShared fingerprints with its original and surface as a
+    // candidate pair. Deterministic: md5 construction, fixed corpus.
+    "dedup_winnow_recall" -> { (s, dir) =>
+      Graft.ensure(s)
+      val d = docs(s, dir)
+      val found = Dedup.winnowPairs(withNearDups(d), "text", "doc_id")
+      val planted = d.select(col("doc_id").as("id_a"),
+        (col("doc_id") + 1000000).as("id_b"))
+      val nPlanted = planted.count()
+      val nFound = planted.join(found, Seq("id_a", "id_b"), "left_semi").count()
+      s.range(1).select(lit(nFound == nPlanted).as("all_planted_found"))
     },
 
     // oracle companion to the dump above: the 64-hash MinHash estimate
@@ -738,6 +768,17 @@ object DataPipelineQueries {
       "SELECT TRUE AS all_planted_found",
     "dedup_simhash_recall" ->
       "SELECT TRUE AS planted_recall_ge_085",
+    "winnow_fingerprints" ->
+      ("WITH n AS (SELECT doc_id, " +
+        "regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS t " +
+        "FROM documents WHERE doc_id % 7 = 0), " +
+        "g AS (SELECT doc_id, [substr(md5(substr(t, i, 16)), 1, 16) " +
+        "FOR i IN range(1, length(t) - 16 + 2)] AS grams FROM n), " +
+        "m AS (SELECT doc_id, list_distinct([list_aggregate(grams[j:j+7], 'min') " +
+        "FOR j IN range(1, len(grams) - 8 + 2)]) AS fps FROM g) " +
+        "SELECT doc_id, unnest(fps) AS fp FROM m ORDER BY doc_id, fp"),
+    "dedup_winnow_recall" ->
+      "SELECT TRUE AS all_planted_found",
     "dedup_filtered_corpus" ->
       ("SELECT doc_id, md5(text) AS text_hash FROM " +
         "(SELECT doc_id, text FROM documents " +
