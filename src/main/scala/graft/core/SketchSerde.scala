@@ -62,6 +62,7 @@ object SketchSerde {
       case TDigest.MAGIC => TDigest.fromBytes(bytes)
       case FreqSketch.MAGIC | FreqSketch.MagicV1 => FreqSketch.fromBytes(bytes)
       case Theta.MAGIC   => Theta.fromBytes(bytes)
+      case BottomKSample.MAGIC => BottomKSample.fromBytes(bytes)
       case m             => throw new IllegalArgumentException(f"unknown sketch magic 0x$m%08x")
     }
   }

@@ -90,6 +90,10 @@ object Graft {
     r.register("topk_tokens_agg", udaf(new TopKTokensAgg(FreqSketch.DefaultCapacity)))
     r.register("cms_topk_tokens_agg", udaf(new CmsTopkTokensAgg(
       Cms.DefaultDepth, Cms.DefaultWidth, FreqSketch.DefaultCapacity, SketchSeed)))
+    // O73: grouped uniform sampling as a mergeable aggregate (k smallest
+    // md5(key) of the distinct-key set — deterministic, cross-engine
+    // exact); other k go through the Column API with a custom udaf
+    r.register("sample_agg", udaf(new BottomKAgg(BottomKSample.DefaultK)))
 
     // merge aggregators (sketch-bytes -> sketch-bytes re-aggregation)
     r.register("ebf_merge_agg", udaf(new EbfMergeAgg))
@@ -100,6 +104,7 @@ object Graft {
     r.register("kll_merge_agg", udaf(new KllMergeAgg))
     r.register("tdigest_merge_agg", udaf(new TDigestMergeAgg))
     r.register("topk_merge_agg", udaf(new TopKMergeAgg))
+    r.register("sample_merge_agg", udaf(new BottomKMergeAgg))
 
     // scalar functions over serialized sketches. Each deserializes via a
     // per-thread cache keyed by content hash, so probing N rows against
@@ -131,6 +136,10 @@ object Graft {
     // (GraftShardExpr) — the router sits on the map side of every
     // shard build/probe, where a UDF would break whole-stage codegen.
     r.register("hll_estimate", (sk: Array[Byte]) => SketchCache.hll(sk).estimate)
+    // O73 extractors: retained sample keys (canonical hash order) and
+    // the retained count. Reads only — cached instances stay unmutated.
+    r.register("sample_keys", (sk: Array[Byte]) => SketchCache.bks(sk).keys.toSeq)
+    r.register("sample_size", (sk: Array[Byte]) => SketchCache.bks(sk).size)
     // O46 theta set algebra. Estimates round to LONG (hll_estimate
     // convention). The set-op functions deserialize through the cache
     // (loaded sketches are canonical: compact() is a no-op, so the
@@ -378,4 +387,5 @@ object SketchCache {
     get(b, classOf[graft.core.ShardedEbf], graft.core.ShardedEbf.fromWire)
   def theta(b: Array[Byte]): Theta = get(b, classOf[Theta], Theta.fromBytes)
   def dcms(b: Array[Byte]): DecayedCms = get(b, classOf[DecayedCms], DecayedCms.fromBytes)
+  def bks(b: Array[Byte]): BottomKSample = get(b, classOf[BottomKSample], BottomKSample.fromBytes)
 }

@@ -352,6 +352,20 @@ object SketchAggregators {
     def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
   }
 
+  /** O73: mergeable bottom-k uniform sample of distinct keys (see
+    * [[graft.core.BottomKSample]]) — the grouped-sampling aggregator:
+    * one pass, map-side partial, k smallest md5(key) per group, so the
+    * sample is a deterministic function of the key set and exactly
+    * reproducible cross-engine (ORDER BY md5(key) LIMIT k). */
+  final class BottomKAgg(k: Int) extends Aggregator[String, BottomKSample, Array[Byte]] {
+    def zero: BottomKSample = BottomKSample.empty(k)
+    def reduce(b: BottomKSample, key: String): BottomKSample = { b.add(key); b }
+    def merge(a: BottomKSample, b: BottomKSample): BottomKSample = a.merge(b)
+    def finish(b: BottomKSample): Array[Byte] = b.toBytes
+    def bufferEncoder: Encoder[BottomKSample] = Encoders.kryo[BottomKSample]
+    def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
   sealed class BytesMergeAgg[S <: AnyRef : ClassTag](
       from: Array[Byte] => S,
       mrg: (S, S) => S,
@@ -381,4 +395,6 @@ object SketchAggregators {
       extends BytesMergeAgg[Theta](Theta.fromBytes, _ merge _, _.toBytes)
   final class DecayedCmsMergeAgg
       extends BytesMergeAgg[DecayedCms](DecayedCms.fromBytes, _ merge _, _.toBytes)
+  final class BottomKMergeAgg
+      extends BytesMergeAgg[BottomKSample](BottomKSample.fromBytes, _ merge _, _.toBytes)
 }

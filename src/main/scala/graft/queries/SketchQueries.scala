@@ -430,6 +430,24 @@ object SketchQueries {
         "p50_within_bound", "p95_within_bound")
     },
 
+    // O73: mergeable bottom-k uniform sample, driven through the full
+    // TWO-STAGE path (per-(lang,source) partial samples re-merged per
+    // lang by sample_merge_agg) — exactness of the rollup is the merge
+    // law (bottom-k of a union of bottom-ks == bottom-k of the union).
+    // VALUE-EXACT oracle: the retained set is the k smallest md5(key)
+    // of the distinct-key set, which DuckDB recomputes verbatim with a
+    // row_number over md5 — no bound, no estimate.
+    "sample_bottomk_check" -> { (s, dir) =>
+      Graft.ensure(s)
+      docs(s, dir)
+        .groupBy(col("lang"), col("source"))
+        .agg(expr("sample_agg(cast(doc_id as string))").as("sk"))
+        .groupBy(col("lang"))
+        .agg(expr("sample_merge_agg(sk)").as("sk"))
+        .select(col("lang"), explode(expr("sample_keys(sk)")).as("key"))
+        .orderBy("lang", "key")
+    },
+
     // O56: CMS heavy-change detection (Cormode-Muthukrishnan's "what's
     // new" question): the tokens whose frequency moved most between two
     // corpus halves, from TWO mergeable 230KB sketches instead of two
@@ -794,6 +812,12 @@ object SketchQueries {
       ("SELECT lang, count(DISTINCT doc_id) AS ndv_exact, TRUE AS rewrite_fired, " +
         "TRUE AS est_equals_library_hll, TRUE AS within_bound " +
         "FROM documents GROUP BY lang ORDER BY lang"),
+    "sample_bottomk_check" ->
+      ("SELECT lang, key FROM (" +
+        "SELECT lang, CAST(doc_id AS VARCHAR) AS key, " +
+        "row_number() OVER (PARTITION BY lang " +
+        "ORDER BY md5(CAST(doc_id AS VARCHAR))) AS rn FROM documents) " +
+        "WHERE rn <= 64 ORDER BY lang, key"),
     "approx_percentile_rewrite_check" ->
       ("SELECT lang, quantile_cont(n_chars, 0.5) AS p50_exact, " +
         "quantile_cont(n_chars, 0.95) AS p95_exact, TRUE AS rewrite_fired, " +
