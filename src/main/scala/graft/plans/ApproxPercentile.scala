@@ -4,7 +4,7 @@ import graft.core.Kll
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, Literal}
-import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Percentile, TypedImperativeAggregate}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Percentile, PercentileDisc, TypedImperativeAggregate}
 import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.trees.UnaryLike
@@ -157,6 +157,25 @@ object ApproxPercentileRewriteRule extends Rule[LogicalPlan] {
                 // copy preserves resultId — downstream references keep resolving
                 ae.copy(aggregateFunction = KllQuantileAggExpr(value, pcts, isArray, k))
               case None => ae
+            }
+          // percentile_disc: the closest exact twin of the KLL estimate —
+          // both return the smallest value whose cumulative fraction
+          // reaches p (no interpolation), so the rewrite approximates
+          // the SAME definition. Scalar-percentage form only (disc's SQL
+          // surface); legacyCalculation uses a different rank formula
+          // and is left exact.
+          case ae @ AggregateExpression(p: PercentileDisc, _, false, _, _)
+              if !p.reverse && !p.legacyCalculation &&
+                p.percentageExpression.foldable &&
+                p.child.deterministic && !p.child.foldable &&
+                p.child.dataType.isInstanceOf[NumericType] =>
+            foldPercentages(p.percentageExpression) match {
+              case Some((pcts, false)) =>
+                val value = if (p.child.dataType == DoubleType) p.child
+                  else Cast(p.child, DoubleType)
+                ae.copy(aggregateFunction =
+                  KllQuantileAggExpr(value, pcts, returnArray = false, k))
+              case _ => ae
             }
         }
     }

@@ -93,7 +93,7 @@ class ApproxPercentileRuleSpec extends AnyFunSuite with BeforeAndAfterEach {
     assert(math.abs(q.head.getDouble(0) - 9999.5) <= eps * 20000 + 1)
   }
 
-  test("guards: frequency != 1, DISTINCT, DESC (reverse) and percentile_disc stay exact") {
+  test("guards: frequency != 1, DISTINCT and DESC (reverse) stay exact") {
     enable()
     t.createOrReplaceTempView("approx_pct_t")
     val qf = spark.sql("SELECT percentile(v, 0.5D, 2) AS p FROM approx_pct_t")
@@ -105,10 +105,21 @@ class ApproxPercentileRuleSpec extends AnyFunSuite with BeforeAndAfterEach {
       "SELECT percentile_cont(0.25D) WITHIN GROUP (ORDER BY v DESC) AS p FROM approx_pct_t")
     assert(kllAggs(qr.queryExecution.optimizedPlan) === 0, "reverse must not rewrite")
     assert(qr.head.getDouble(0) === 14999.25) // exact: 0.75 quantile ascending
-    val qpd = spark.sql(
+    val qrd = spark.sql(
+      "SELECT percentile_disc(0.5D) WITHIN GROUP (ORDER BY v DESC) AS p FROM approx_pct_t")
+    assert(kllAggs(qrd.queryExecution.optimizedPlan) === 0,
+      "reverse disc must not rewrite")
+  }
+
+  test("percentile_disc rewrites (same no-interpolation definition as the KLL quantile)") {
+    enable()
+    t.createOrReplaceTempView("approx_pct_t")
+    val q = spark.sql(
       "SELECT percentile_disc(0.5D) WITHIN GROUP (ORDER BY v) AS p FROM approx_pct_t")
-    assert(kllAggs(qpd.queryExecution.optimizedPlan) === 0,
-      "percentile_disc is its own aggregate and stays exact")
+    assert(kllAggs(q.queryExecution.optimizedPlan) === 1,
+      s"disc did not rewrite:\n${q.queryExecution.optimizedPlan}")
+    // exact disc answer is 9999.0 (smallest v with cum fraction >= 0.5)
+    assert(math.abs(q.head.getDouble(0) - 9999.0) <= eps * 20000 + 1)
   }
 
   test("mixed aggregate: only the percentile is swapped; long child casts") {
