@@ -448,6 +448,53 @@ object SketchQueries {
         .orderBy("lang", "key")
     },
 
+    // O74: one-pass table profile (ANALYZE-stats role) — exact
+    // count/nulls/min/max/mean DuckDB-matched per column; NDV and
+    // p50/p95 estimates gated by bound booleans against Spark-side
+    // exacts (HLL 3-sigma, KLL rank eps with the suite's 2x margin);
+    // the string column's heavy hitter is EXACT-matched (Misra-Gries
+    // is exact below capacity: 3 distinct flags << 1024 slots), so
+    // top_key/top_cnt are value columns, not booleans.
+    "table_profile_check" -> { (s, dir) =>
+      Graft.ensure(s)
+      val li = lineitem(s, dir)
+      val numeric = Seq("l_extendedprice", "l_quantity")
+      val prof = graft.pipeline.Profile.profile(s, li, numeric, Seq("l_returnflag"))
+        .collect().map(r => r.getString(0) -> r).toMap
+      // verification pass: exact NDV + exact ranks of the estimates
+      val ndvAggs = (numeric :+ "l_returnflag").map(c =>
+        countDistinct(col(c)).as(s"${c}__ndv"))
+      val rankAggs = numeric.flatMap { c =>
+        Seq(0.5 -> "p50_est", 0.95 -> "p95_est").map { case (q, f) =>
+          val v = prof(c).getAs[Double](f)
+          (sum(when(col(c) <= v, 1L).otherwise(0L)) / count(lit(1))).as(s"${c}__r$q")
+        }
+      }
+      val ver = li.agg((ndvAggs ++ rankAggs).head, (ndvAggs ++ rankAggs).tail: _*).head
+      val sigma = 1.04 / math.sqrt(1 << graft.core.Hll.DefaultP)
+      val eps = Kll.empty().normalizedRankError * 2.0
+      import s.implicits._
+      val rows = (numeric :+ "l_returnflag").sorted.map { c =>
+        val p = prof(c)
+        val ndvOk = math.abs(p.getAs[Long]("ndv_est") -
+          ver.getAs[Long](s"${c}__ndv")) <= 3 * sigma * ver.getAs[Long](s"${c}__ndv") + 1
+        val (p50Ok, p95Ok) =
+          if (numeric.contains(c))
+            (math.abs(ver.getAs[Double](s"${c}__r0.5") - 0.5) <= eps,
+              math.abs(ver.getAs[Double](s"${c}__r0.95") - 0.95) <= eps)
+          else (true, true)
+        (c, p.getAs[Long]("n"), p.getAs[Long]("nulls"),
+          Option(p.getAs[java.lang.Double]("min_d")).map(_.doubleValue()),
+          Option(p.getAs[java.lang.Double]("max_d")).map(_.doubleValue()),
+          Option(p.getAs[java.lang.Double]("mean")).map(_.doubleValue()),
+          ndvOk, p50Ok, p95Ok,
+          Option(p.getAs[String]("top_key")),
+          Option(p.getAs[java.lang.Long]("top_est")).map(_.longValue()))
+      }
+      rows.toDF("col_name", "n", "nulls", "min_d", "max_d", "mean",
+        "ndv_ok", "p50_ok", "p95_ok", "top_key", "top_cnt")
+    },
+
     // O56: CMS heavy-change detection (Cormode-Muthukrishnan's "what's
     // new" question): the tokens whose frequency moved most between two
     // corpus halves, from TWO mergeable 230KB sketches instead of two
@@ -812,6 +859,24 @@ object SketchQueries {
       ("SELECT lang, count(DISTINCT doc_id) AS ndv_exact, TRUE AS rewrite_fired, " +
         "TRUE AS est_equals_library_hll, TRUE AS within_bound " +
         "FROM documents GROUP BY lang ORDER BY lang"),
+    "table_profile_check" ->
+      ("SELECT 'l_extendedprice' AS col_name, count(l_extendedprice) AS n, " +
+        "count(*) - count(l_extendedprice) AS nulls, " +
+        "min(l_extendedprice) AS min_d, max(l_extendedprice) AS max_d, " +
+        "avg(l_extendedprice) AS mean, TRUE AS ndv_ok, TRUE AS p50_ok, " +
+        "TRUE AS p95_ok, CAST(NULL AS VARCHAR) AS top_key, " +
+        "CAST(NULL AS BIGINT) AS top_cnt FROM lineitem " +
+        "UNION ALL SELECT 'l_quantity', count(l_quantity), " +
+        "count(*) - count(l_quantity), min(l_quantity), max(l_quantity), " +
+        "avg(l_quantity), TRUE, TRUE, TRUE, NULL, NULL FROM lineitem " +
+        "UNION ALL SELECT 'l_returnflag', count(l_returnflag), " +
+        "count(*) - count(l_returnflag), CAST(NULL AS DOUBLE), " +
+        "CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), TRUE, TRUE, TRUE, " +
+        "(SELECT l_returnflag FROM lineitem GROUP BY 1 " +
+        " ORDER BY count(*) DESC, l_returnflag LIMIT 1), " +
+        "(SELECT count(*) FROM lineitem GROUP BY l_returnflag " +
+        " ORDER BY count(*) DESC, l_returnflag LIMIT 1) FROM lineitem " +
+        "ORDER BY col_name"),
     "sample_bottomk_check" ->
       ("SELECT lang, key FROM (" +
         "SELECT lang, CAST(doc_id AS VARCHAR) AS key, " +
