@@ -97,4 +97,36 @@ object Decontaminate {
       .join(bTot, benchId)
       .select(col(corpusId), col(benchId), col("n_shared"), col("n_bench_shingles"))
   }
+
+  /** O75: edit-robust decontamination via winnowing fingerprints
+    * ([[graft.functions.TextFunctions.winnowFingerprints]]) — corpus
+    * docs sharing winnowed fingerprints with any benchmark doc.
+    *
+    * What this catches that the exact token-shingle sweep cannot: the
+    * fingerprint normalization strips case, whitespace and punctuation
+    * entirely, so a benchmark passage that was reflowed, re-cased or
+    * re-punctuated in the corpus still matches (the token shingles are
+    * verbatim token runs and find NOTHING under those edits), with the
+    * winnowing guarantee bounding granularity: any shared normalized
+    * substring of w+k-1 chars yields a shared fingerprint. Same
+    * broadcast shape as the shingle path — an eval set's fingerprint
+    * set is tiny by definition — and ~2/(w+1) of the gram hashes ride
+    * the join instead of every shingle string. */
+  def contaminatedPairsViaWinnow(corpus: DataFrame, corpusId: String,
+                                 benchmark: DataFrame, benchId: String,
+                                 textCol: String,
+                                 k: Int = 16, w: Int = 8): DataFrame = {
+    require(corpusId != benchId,
+      s"corpus and benchmark id columns must differ (both '$corpusId')")
+    val fpUdf = udf((t: String) =>
+      graft.functions.TextFunctions.winnowFingerprints(t, k, w))
+    val cf = corpus.select(col(corpusId), explode(fpUdf(col(textCol))).as("fp"))
+    val bf = benchmark.select(col(benchId), explode(fpUdf(col(textCol))).as("fp"))
+    val bTot = bf.groupBy(benchId).agg(count(lit(1)).as("n_bench_fps"))
+    cf.join(broadcast(bf), "fp")
+      .groupBy(corpusId, benchId)
+      .agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(bTot), benchId)
+      .select(col(corpusId), col(benchId), col("n_shared"), col("n_bench_fps"))
+  }
 }

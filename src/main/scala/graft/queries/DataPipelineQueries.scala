@@ -259,6 +259,26 @@ object DataPipelineQueries {
         .orderBy("doc_id", "bench_id")
     },
 
+    // O75: edit-robust decontamination — the benchmark snippets are
+    // REFORMATTED (upper-cased, spaces -> newlines) before the sweep;
+    // the exact token-shingle path finds nothing under those edits
+    // (verbatim token runs), while winnow fingerprints normalize case/
+    // whitespace/punctuation away and still match the source docs.
+    // VALUE-EXACT oracle: DuckDB reproduces the reformat chain and the
+    // full winnow construction on BOTH sides and joins — every
+    // (corpus, bench, n_shared, n_bench_fps) row must match.
+    "decontamination_winnow_check" -> { (s, dir) =>
+      Graft.ensure(s)
+      val d = docs(s, dir)
+      val bench = d.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("bench_id"),
+          regexp_replace(upper(substring(col("text"), 51, 200)), " ", "\n").as("text"))
+      graft.dedup.Decontaminate.contaminatedPairsViaWinnow(
+          d.select(col("doc_id").as("corpus_id"), col("text")), "corpus_id",
+          bench, "bench_id", "text")
+        .orderBy("corpus_id", "bench_id")
+    },
+
     // O51 scale path, same oracle: the corpus shingle stream is
     // pre-filtered through an EBF of the benchmark shingles (map-only,
     // JoinPrune) before the exact join. No false negatives -> the
@@ -790,6 +810,36 @@ object DataPipelineQueries {
     "decontamination_check" -> decontaminationSql,
     // the EBF-prefiltered path must produce the IDENTICAL result
     "decontamination_ebf_check" -> decontaminationSql,
+    "decontamination_winnow_check" ->
+      ("WITH nc AS (SELECT doc_id, " +
+        "regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS t FROM documents), " +
+        "gc AS (SELECT doc_id, [substr(md5(substr(t, i, 16)), 1, 16) " +
+        "FOR i IN range(1, length(t) - 16 + 2)] AS grams FROM nc), " +
+        "mc AS (SELECT doc_id, list_distinct([list_aggregate(grams[j:j+7], 'min') " +
+        "FOR j IN range(1, len(grams) - 8 + 2)]) AS fps FROM gc), " +
+        "cf AS (SELECT doc_id AS corpus_id, unnest(fps) AS fp FROM mc), " +
+        "bsrc AS (SELECT doc_id AS bench_id, " +
+        "replace(upper(substr(text, 51, 200)), ' ', chr(10)) AS btext " +
+        "FROM documents WHERE doc_id % 97 = 0), " +
+        "nb AS (SELECT bench_id, " +
+        "regexp_replace(lower(btext), '[^a-z0-9]', '', 'g') AS t FROM bsrc), " +
+        "gb AS (SELECT bench_id, t, [substr(md5(substr(t, i, 16)), 1, 16) " +
+        "FOR i IN range(1, length(t) - 16 + 2)] AS grams FROM nb), " +
+        // short snippets hit the kernel's edge conventions: empty ->
+        // no fingerprints; < k chars -> whole-text hash; < w grams ->
+        // one min-of-all fingerprint (WinnowingSpec pins these)
+        "mb AS (SELECT bench_id, CASE " +
+        "WHEN length(t) = 0 THEN [] " +
+        "WHEN length(t) < 16 THEN [substr(md5(t), 1, 16)] " +
+        "WHEN len(grams) < 8 THEN [list_aggregate(grams, 'min')] " +
+        "ELSE list_distinct([list_aggregate(grams[j:j+7], 'min') " +
+        "FOR j IN range(1, len(grams) - 8 + 2)]) END AS fps FROM gb), " +
+        "bf AS (SELECT bench_id, unnest(fps) AS fp FROM mb), " +
+        "btot AS (SELECT bench_id, count(*) AS n_bench_fps FROM bf GROUP BY bench_id) " +
+        "SELECT cf.corpus_id, bf.bench_id, count(*) AS n_shared, " +
+        "any_value(btot.n_bench_fps) AS n_bench_fps " +
+        "FROM cf JOIN bf USING (fp) JOIN btot USING (bench_id) " +
+        "GROUP BY cf.corpus_id, bf.bench_id ORDER BY corpus_id, bench_id"),
     "text_repetition_check" ->
       ("WITH t AS (SELECT doc_id, string_split_regex(lower(trim(" +
         "CASE WHEN doc_id % 101 = 0 THEN text || ' click here click here click here click here' " +

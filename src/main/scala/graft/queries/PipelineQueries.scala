@@ -651,7 +651,9 @@ object PipelineQueries {
         expr("ebf_agg(cast(doc_id as string))").as("ebf"),
         expr("hll_agg(cast(doc_id as string))").as("hll"),
         expr("cms_agg(source)").as("cms"),
-        expr("theta_agg(cast(doc_id as string))").as("theta"))
+        expr("theta_agg(cast(doc_id as string))").as("theta"),
+        // O73: byte-stable by canonical hash-sorted wire order
+        expr("sample_agg(cast(doc_id as string))").as("smp"))
       val qname = "graft_stream_eq_" + java.util.UUID.randomUUID.toString.replace("-", "")
       val q = s.readStream.schema(staged.schema)
         .option("maxFilesPerTrigger", "1").parquet(tmp)
@@ -671,7 +673,8 @@ object PipelineQueries {
               (col("a.ebf") === col("b.ebf")).as("ebf_equal"),
               (col("a.hll") === col("b.hll")).as("hll_equal"),
               (col("a.cms") === col("b.cms")).as("cms_equal"),
-              (col("a.theta") === col("b.theta")).as("theta_equal"))
+              (col("a.theta") === col("b.theta")).as("theta_equal"),
+              (col("a.smp") === col("b.smp")).as("sample_equal"))
             .orderBy("lang").collect().toSeq
         } finally {
           s.catalog.dropTempView(qname)
@@ -679,8 +682,9 @@ object PipelineQueries {
         }
       import s.implicits._
       rows.map(r => (r.getString(0), r.getBoolean(1), r.getBoolean(2),
-          r.getBoolean(3), r.getBoolean(4)))
-        .toDF("lang", "ebf_equal", "hll_equal", "cms_equal", "theta_equal")
+          r.getBoolean(3), r.getBoolean(4), r.getBoolean(5)))
+        .toDF("lang", "ebf_equal", "hll_equal", "cms_equal", "theta_equal",
+          "sample_equal")
     },
 
     // O69: trending on a STREAM — the time-decayed CMS (O68) built
@@ -1068,7 +1072,7 @@ object PipelineQueries {
         "AND doc_id >= 100 AND doc_id < 160 AND doc_id % 3 = 0 ORDER BY doc_id"),
     "stream_vs_batch_sketch_equivalence" ->
       ("SELECT lang, TRUE AS ebf_equal, TRUE AS hll_equal, TRUE AS cms_equal, " +
-        "TRUE AS theta_equal " +
+        "TRUE AS theta_equal, TRUE AS sample_equal " +
         "FROM (SELECT DISTINCT lang FROM documents) ORDER BY lang"),
     "ebf_filter_persistence_check" ->
       ("SELECT TRUE AS shards_byte_identical_after_roundtrip, " +

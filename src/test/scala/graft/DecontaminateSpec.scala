@@ -88,4 +88,23 @@ class DecontaminateSpec extends AnyFunSuite {
     val benchExact = df(Seq((3L, "p q r s")), "bench_id")    // exactly n tokens
     assert(pairs(corpus, benchExact, 4) === Map((1L, 3L) -> (1L, 1L)))
   }
+
+  test("winnow path survives reformatting edits that blind the exact-shingle sweep") {
+    val passage = "the quick brown fox jumps over the lazy dog and keeps running far away"
+    val corpus = df(Seq(
+      (1L, s"leading filler words here $passage trailing filler words here"),
+      (2L, "completely unrelated content with no overlap whatsoever at all today")), "corpus_id")
+    // the benchmark copy is re-cased and re-flowed: upper + newlines +
+    // extra punctuation — zero verbatim token runs survive
+    val bench = df(Seq(
+      (10L, passage.toUpperCase.replace(" ", ",\n"))), "bench_id")
+    val shingle = Decontaminate.contaminatedPairs(
+      corpus, "corpus_id", bench, "bench_id", "text", n = 4).collect()
+    assert(shingle.isEmpty, "exact token shingles must find nothing under these edits")
+    val winnow = Decontaminate.contaminatedPairsViaWinnow(
+        corpus, "corpus_id", bench, "bench_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(winnow.contains((1L, 10L)), "winnow fingerprints must match through the reformat")
+    assert(!winnow.keySet.exists(_._1 == 2L), "the unrelated doc must not pair")
+  }
 }

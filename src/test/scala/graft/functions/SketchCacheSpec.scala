@@ -81,4 +81,14 @@ class SketchCacheSpec extends AnyFunSuite {
     assert(err.getMessage != null)
     assert(SketchCache.dcms(b).estimate("v50", 1700000050.0) >= 0.9)
   }
+
+  test("bottom-k sample: cached getter + type token hold for the new type too") {
+    val s = graft.core.BottomKSample.empty(16)
+    (1 to 50).foreach(i => s.add(s"v$i"))
+    val b = s.toBytes
+    assert(SketchCache.bks(b) eq SketchCache.bks(b))
+    val err = intercept[Exception] { SketchCache.theta(b) }
+    assert(err.getMessage != null)
+    assert(SketchCache.bks(b).keys.length === 16)
+  }
 }
