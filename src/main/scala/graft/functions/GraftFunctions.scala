@@ -53,6 +53,13 @@ object Graft {
         spark.experimental.extraOptimizations =
           spark.experimental.extraOptimizations :+ graft.plans.ApproxPercentileRewriteRule
       }
+      // opt-in mode(x) -> Misra-Gries top-1 (fires only when
+      // spark.graft.approxMode.enabled=true; exact below capacity,
+      // heavy-hitter estimate beyond — see ApproxModeRewriteRule)
+      if (!spark.experimental.extraOptimizations.contains(graft.plans.ApproxModeRewriteRule)) {
+        spark.experimental.extraOptimizations =
+          spark.experimental.extraOptimizations :+ graft.plans.ApproxModeRewriteRule
+      }
       // native codegen'd SQL expressions (the UDF registry can't host
       // Expression builders; goes through the sessionState shim)
       val natives = Seq(

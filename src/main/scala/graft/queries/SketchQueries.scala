@@ -495,6 +495,42 @@ object SketchQueries {
         "ndv_ok", "p50_ok", "p95_ok", "top_key", "top_cnt")
     },
 
+    // O76: opt-in mode() -> Misra-Gries rewrite, driver-gated like
+    // O64/O71. The corpus HAS tied modes (de at sf0.01, en at sf0.1 —
+    // measured), which makes the tie-break part of the gate: the
+    // rewrite resolves ties deterministically to the smallest value
+    // (FreqSketch.topK order) and DuckDB recomputes that exact
+    // convention, so mode_est is a VALUE column. Exact Spark mode()
+    // picks an arbitrary tied value — gated as a boolean (its count
+    // equals the max count), not as a value.
+    "approx_mode_rewrite_check" -> { (s, dir) =>
+      Graft.ensure(s)
+      val d = docs(s, dir)
+      val off = d.groupBy("lang").agg(expr("mode(source)").as("m"))
+      require(!off.queryExecution.optimizedPlan.expressions.exists(_.exists(
+        _.isInstanceOf[graft.plans.ModeAggExpr])), "rule must be off by default")
+      val offRows = off.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      s.conf.set("spark.graft.approxMode.enabled", "true")
+      val (estRows, fired) =
+        try {
+          val est = d.groupBy("lang").agg(expr("mode(source)").as("m"))
+          val f = est.queryExecution.optimizedPlan.expressions.exists(_.exists(
+            _.isInstanceOf[graft.plans.ModeAggExpr]))
+          (est.collect().map(r => r.getString(0) -> r.getString(1)).toMap, f)
+        } finally s.conf.unset("spark.graft.approxMode.enabled")
+      // exact per-(lang, source) counts judge both answers
+      val counts = d.groupBy("lang", "source").count().collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      val maxCnt = counts.groupBy(_._1._1).map { case (l, m) => l -> m.values.max }
+      import s.implicits._
+      estRows.keys.toSeq.sorted.map { lang =>
+        (lang, estRows(lang), fired,
+          counts((lang, offRows(lang))) == maxCnt(lang),
+          counts((lang, estRows(lang))) == maxCnt(lang))
+      }.toDF("lang", "mode_est", "rewrite_fired", "exact_is_valid_mode",
+        "est_is_max_count")
+    },
+
     // O56: CMS heavy-change detection (Cormode-Muthukrishnan's "what's
     // new" question): the tokens whose frequency moved most between two
     // corpus halves, from TWO mergeable 230KB sketches instead of two
@@ -859,6 +895,12 @@ object SketchQueries {
       ("SELECT lang, count(DISTINCT doc_id) AS ndv_exact, TRUE AS rewrite_fired, " +
         "TRUE AS est_equals_library_hll, TRUE AS within_bound " +
         "FROM documents GROUP BY lang ORDER BY lang"),
+    "approx_mode_rewrite_check" ->
+      ("SELECT lang, (SELECT source FROM documents d2 WHERE d2.lang = d.lang " +
+        "GROUP BY source ORDER BY count(*) DESC, source LIMIT 1) AS mode_est, " +
+        "TRUE AS rewrite_fired, TRUE AS exact_is_valid_mode, " +
+        "TRUE AS est_is_max_count " +
+        "FROM (SELECT DISTINCT lang FROM documents) d ORDER BY lang"),
     "table_profile_check" ->
       ("SELECT 'l_extendedprice' AS col_name, count(l_extendedprice) AS n, " +
         "count(*) - count(l_extendedprice) AS nulls, " +
