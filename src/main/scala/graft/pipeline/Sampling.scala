@@ -80,4 +80,57 @@ object Sampling {
       .filter(col("__wr") <= n)
       .drop("__wr")
   }
+
+  /** O77 — deterministic corpus MIXING: downsample strata so the output
+    * approximates target proportions given as integer parts (e.g.
+    * `en->4, de->2, zh->1`), keeping the largest feasible output — the
+    * data-mixture step every LLM corpus release runs ("X% web, Y% code,
+    * Z% reference"), here as one map-only hash-compare pass.
+    *
+    * Sizing: with parts w_s (sum W) and stratum counts n_s, the largest
+    * total t honoring every proportion is t = min_s floor(n_s * W /
+    * w_s); stratum s then keeps rate_s = t * w_s / (W * n_s) of its
+    * rows (the binding stratum keeps everything). Membership is the
+    * md5-threshold rule (object scaladoc), with per-stratum thresholds
+    * floor(rate_s * 16^8) computed in EXACT integer arithmetic (BigInt)
+    * — no floating-point in the cutoff, so any engine reproduces the
+    * identical row set and the driver gate compares rows, not counts.
+    * A rate-1 stratum gets the sentinel threshold "g" (every md5 hex
+    * prefix sorts below 'g').
+    *
+    * The achieved proportions are binomial around the targets
+    * (sigma/n_s ~ sqrt(rate(1-rate)/n_s)); the gate checks them within
+    * 4 sigma. Strata absent from `parts` are dropped (not mixed in);
+    * parts naming strata with no rows make t = 0 and are rejected.
+    * Scale shape: one count aggregation (bounded by |strata|), a
+    * broadcast of |strata| thresholds, and a codegen'd per-row compare
+    * — no shuffle of the data itself. */
+  def mixToParts(df: DataFrame, keyCol: Column, stratumCol: Column,
+                 parts: Map[String, Long]): DataFrame = {
+    require(parts.nonEmpty && parts.values.forall(_ > 0),
+      "parts must be positive")
+    val prefixLen = 8
+    val scale = BigInt(16).pow(prefixLen)
+    val w = parts.mapValues(BigInt(_))
+    val wSum = w.values.sum
+    val counts = df.filter(stratumCol.isin(parts.keys.toSeq: _*))
+      .groupBy(stratumCol.as("__s")).count()
+      .collect().map(r => r.getString(0) -> BigInt(r.getLong(1))).toMap
+    val missing = parts.keySet -- counts.keySet
+    require(missing.isEmpty, s"parts name strata with no rows: $missing")
+    val t = counts.map { case (s, n) => n * wSum / w(s) }.min
+    val thresholds = counts.map { case (s, n) =>
+      val thr = t * w(s) * scale / (wSum * n)
+      s -> (if (thr >= scale) "g" else {
+        val hex = thr.toString(16)
+        "0" * (prefixLen - hex.length) + hex
+      })
+    }
+    val spark = df.sparkSession
+    import spark.implicits._
+    val tdf = thresholds.toSeq.toDF("__stratum", "__threshold")
+    df.join(broadcast(tdf), stratumCol === col("__stratum"), "inner")
+      .filter(substring(md5(keyCol.cast("string")), 1, prefixLen) < col("__threshold"))
+      .drop("__stratum", "__threshold")
+  }
 }

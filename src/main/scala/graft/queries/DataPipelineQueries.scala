@@ -321,6 +321,19 @@ object DataPipelineQueries {
         .orderBy("lang", "doc_id")
     },
 
+    // O77: corpus mixing to target proportions (4:2:2:1:1 by lang) —
+    // thresholds derived from exact counts in pure integer arithmetic,
+    // so the DuckDB oracle reproduces the IDENTICAL kept-row set (the
+    // data-mixture step of a corpus release, engine-portable). The
+    // binding stratum (smallest n/w) keeps all rows via the 'g'
+    // sentinel threshold.
+    "corpus_mix_check" -> { (s, dir) =>
+      graft.pipeline.Sampling.mixToParts(docs(s, dir), col("doc_id"), col("lang"),
+          Map("en" -> 4L, "de" -> 2L, "es" -> 2L, "fr" -> 1L, "zh" -> 1L))
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    },
+
     // The COMPOSED curation pipeline — the operators a training-data
     // run chains, end-to-end in one oracle-exact query: exact dedup
     // (planted duplicates at id+2M) -> keeper corpus -> token-count
@@ -875,6 +888,16 @@ object DataPipelineQueries {
         "CASE lang WHEN 'en' THEN '8000' WHEN 'fr' THEN '4000' " +
         "WHEN 'es' THEN '4000' WHEN 'de' THEN '1999' WHEN 'zh' THEN '0400' END " +
         "ORDER BY lang, doc_id"),
+    "corpus_mix_check" ->
+      ("WITH cnt AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang), " +
+        "w(lang, wt) AS (VALUES ('en', 4), ('de', 2), ('es', 2), ('fr', 1), ('zh', 1)), " +
+        "j AS (SELECT cnt.lang AS lang, n, wt FROM cnt JOIN w USING (lang)), " +
+        "tt AS (SELECT min(n * 10 // wt) AS t FROM j), " +
+        "th AS (SELECT lang, (SELECT t FROM tt) * wt * 4294967296 // (10 * n) AS thr FROM j), " +
+        "ths AS (SELECT lang, CASE WHEN thr >= 4294967296 THEN 'g' " +
+        "ELSE printf('%08x', thr) END AS thx FROM th) " +
+        "SELECT d.doc_id, d.lang FROM documents d JOIN ths USING (lang) " +
+        "WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < thx ORDER BY doc_id"),
     "ngram_jaccard_check" ->
       "SELECT TRUE AS est_within_bound, TRUE AS planted_jaccard_high",
     "curation_pipeline" ->

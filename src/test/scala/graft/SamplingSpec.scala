@@ -79,4 +79,33 @@ class SamplingSpec extends AnyFunSuite {
     assert(a === ids(13))
     assert(a.groupBy(_._1).forall(_._2.size == 25))
   }
+
+  test("mixToParts: proportions within binomial noise, binding stratum keeps all, " +
+    "partitioning-invariant, absent strata dropped") {
+    import spark.implicits._
+    // strata sizes wildly off-target: a=8000, b=1000, c=400
+    val rows = (1 to 8000).map(i => (s"a$i", "a")) ++
+      (1 to 1000).map(i => (s"b$i", "b")) ++
+      (1 to 400).map(i => (s"c$i", "c")) ++
+      (1 to 300).map(i => (s"x$i", "x")) // not in parts -> dropped
+    def df(parts: Int) = rows.toDF("k", "s").repartition(parts)
+    // target 1:1:1 -> c binds (400 each expected)
+    val parts = Map("a" -> 1L, "b" -> 1L, "c" -> 1L)
+    val out = graft.pipeline.Sampling.mixToParts(df(4), col("k"), col("s"), parts)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    val by = out.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(by("c") === 400, "binding stratum must keep everything")
+    assert(!by.contains("x"), "strata absent from parts are dropped")
+    // a keeps rate 400/8000 = 5%, b keeps 40%: 4 sigma binomial bands
+    assert(math.abs(by("a") - 400) <= 4 * math.sqrt(8000 * 0.05 * 0.95) + 1, s"a: ${by("a")}")
+    assert(math.abs(by("b") - 400) <= 4 * math.sqrt(1000 * 0.4 * 0.6) + 1, s"b: ${by("b")}")
+    // identical row SET at any partitioning
+    val out1 = graft.pipeline.Sampling.mixToParts(df(1), col("k"), col("s"), parts)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(out.toSet === out1)
+    // parts naming a stratum with no rows are rejected loudly
+    intercept[IllegalArgumentException] {
+      graft.pipeline.Sampling.mixToParts(df(2), col("k"), col("s"), Map("a" -> 1L, "nope" -> 1L))
+    }
+  }
 }
