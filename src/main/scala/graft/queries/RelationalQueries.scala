@@ -40,6 +40,24 @@ object RelationalQueries {
         .orderBy("c_mktsegment")
     },
 
+    // three-table selective multi-join (TPC-H Q3 shape): filters push
+    // into all three scans, the customer dim broadcasts, the orders x
+    // lineitem join shuffles on the key both sides already produce —
+    // the canonical fact-to-fact plan the 100x story needs. Top-10 by
+    // revenue with a deterministic key tiebreak.
+    "rel_multijoin_shipping_priority" -> { (s, dir) =>
+      val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = t(s, dir, "orders").filter(col("o_orderdate") < lit("1995-03-15"))
+      val l = t(s, dir, "lineitem")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    },
+
     // left semi + anti (EXISTS / NOT EXISTS)
     "rel_semi_anti_customers" -> { (s, dir) =>
       val c = t(s, dir, "customer")
@@ -130,6 +148,14 @@ object RelationalQueries {
       ("SELECT c_mktsegment, COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS total " +
         "FROM orders JOIN customer ON o_custkey = c_custkey " +
         "GROUP BY c_mktsegment ORDER BY c_mktsegment"),
+    "rel_multijoin_shipping_priority" ->
+      ("SELECT l_orderkey, o_orderdate, o_orderpriority, " +
+        "ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "JOIN customer ON o_custkey = c_custkey " +
+        "WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1995-03-15' " +
+        "GROUP BY l_orderkey, o_orderdate, o_orderpriority " +
+        "ORDER BY revenue DESC, l_orderkey LIMIT 10"),
     "rel_semi_anti_customers" ->
       ("SELECT (SELECT COUNT(*) FROM customer WHERE EXISTS " +
         "(SELECT 1 FROM orders WHERE o_custkey = c_custkey)) AS with_orders, " +
