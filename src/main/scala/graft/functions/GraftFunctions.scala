@@ -147,6 +147,10 @@ object Graft {
     // the retained count. Reads only — cached instances stay unmutated.
     r.register("sample_keys", (sk: Array[Byte]) => SketchCache.bks(sk).keys.toSeq)
     r.register("sample_size", (sk: Array[Byte]) => SketchCache.bks(sk).size)
+    // O72: winnowing fingerprints as a SQL surface (the Column/library
+    // paths use TextFunctions directly)
+    r.register("winnow_fingerprints", (text: String, k: Int, w: Int) =>
+      TextFunctions.winnowFingerprints(text, k, w).toSeq)
     // O46 theta set algebra. Estimates round to LONG (hll_estimate
     // convention). The set-op functions deserialize through the cache
     // (loaded sketches are canonical: compact() is a no-op, so the

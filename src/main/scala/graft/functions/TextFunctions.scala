@@ -225,9 +225,24 @@ object TextFunctions {
     * md5-threshold sampling and PII oracles made, so the whole
     * fingerprint construction is reproducible verbatim in any engine
     * with md5 (the DuckDB oracle recomputes it exactly). */
+  private val tlMd5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
   private def md5Hex16(s: String): String = {
-    val d = java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes(StandardCharsets.UTF_8))
+    val b = s.getBytes(StandardCharsets.UTF_8)
+    md5Hex16(b, 0, b.length)
+  }
+
+  /** md5 hex prefix over a byte RANGE — the winnowing hot loop feeds
+    * gram windows of the normalized bytes directly (no per-gram
+    * substring + getBytes copies; digest instance reused per thread). */
+  private def md5Hex16(bytes: Array[Byte], off: Int, len: Int): String = {
+    val md = tlMd5.get()
+    md.reset()
+    md.update(bytes, off, len)
+    val d = md.digest()
     val sb = new java.lang.StringBuilder(16)
     var i = 0
     while (i < 8) {
@@ -273,9 +288,12 @@ object TextFunctions {
     if (norm.isEmpty) return Array.empty
     if (norm.length < k) return Array(md5Hex16(norm))
     val p = norm.length - k + 1
+    // normalized text is pure [a-z0-9], so chars ARE the UTF-8 bytes:
+    // hash gram windows of one byte array instead of p substring copies
+    val nb = norm.getBytes(StandardCharsets.UTF_8)
     val grams = new Array[String](p)
     var i = 0
-    while (i < p) { grams(i) = md5Hex16(norm.substring(i, i + k)); i += 1 }
+    while (i < p) { grams(i) = md5Hex16(nb, i, k); i += 1 }
     val eff = math.min(w, p)
     val out = new scala.collection.mutable.LinkedHashSet[String]
     val dq = new java.util.ArrayDeque[Int]

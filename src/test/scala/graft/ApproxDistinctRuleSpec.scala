@@ -147,6 +147,26 @@ class ApproxDistinctRuleSpec extends AnyFunSuite with BeforeAndAfterEach {
     } finally spark.conf.unset("spark.graft.joinPrune.enabled")
   }
 
+  test("fires inside cube/rollup aggregates (the grouping-set stats shape)") {
+    enable()
+    spark.conf.set("spark.graft.approxPercentile.enabled", "true")
+    try {
+      val q = t.cube(col("g"), col("even")).agg(
+        countDistinct(col("k")).as("ndv"),
+        expr("percentile(f, 0.5D)").as("p50"))
+      val plan = q.queryExecution.optimizedPlan
+      assert(hllAggs(plan) === 1, s"distinct rewrite must fire under cube:\n$plan")
+      var klls = 0
+      plan.foreach(p => p.expressions.foreach(_.foreach {
+        case _: graft.plans.KllQuantileAggExpr => klls += 1
+        case _ =>
+      }))
+      assert(klls === 1, s"percentile rewrite must fire under cube:\n$plan")
+      // 7x3 grouping-set rows: (g x even) 14 + g 7 + even 2 + total 1
+      assert(q.count() === 24)
+    } finally spark.conf.unset("spark.graft.approxPercentile.enabled")
+  }
+
   test("streaming aggregate is not rewritten") {
     enable()
     val stream = spark.readStream.format("rate")
