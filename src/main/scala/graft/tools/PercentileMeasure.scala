@@ -41,12 +41,24 @@ object PercentileMeasure {
       ((System.nanoTime() - t0) / 1e9, out)
     }
 
+    // Spark's own bounded-state alternative, for the like-for-like row
+    def runBuiltin(): (Double, Array[(Long, Double)]) = {
+      spark.conf.unset("spark.graft.approxPercentile.enabled")
+      val t0 = System.nanoTime()
+      val out = t.groupBy("g")
+        .agg(expr("approx_percentile(v, 0.5D, 10000)").as("p50"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).sortBy(_._1)
+      ((System.nanoTime() - t0) / 1e9, out)
+    }
+
     var exact: Array[(Long, Double)] = null
     var est: Array[(Long, Double)] = null
     (1 to trials).foreach { i =>
       val (te, oe) = runOnce(approx = false); exact = oe
       val (ta, oa) = runOnce(approx = true); est = oa
-      println(f"[pm] trial $i: exact $te%.2f s, rewritten $ta%.2f s (${te / ta}%.1fx)")
+      val (tb, _) = runBuiltin()
+      println(f"[pm] trial $i: exact $te%.2f s, rewritten $ta%.2f s " +
+        f"(${te / ta}%.1fx), builtin approx_percentile $tb%.2f s")
     }
     // rank deviation of each estimate against the exact median, in
     // value space mapped back through the empirical distribution
