@@ -872,6 +872,102 @@ object PipelineQueries {
         .toDF("window_start", "n_docs", "hll_equal_batch", "count_equal_batch", "window_sets_equal")
     },
 
+    // Streaming restart-from-checkpoint — the Structured Streaming
+    // form of the north rule's "resumable from checkpoint" (O12 is the
+    // batch form). A watermarked windowed HLL aggregation runs over
+    // the first half of the input and STOPS (AvailableNow drains what
+    // exists); more input arrives; a NEW query object restarts on the
+    // SAME checkpoint + file sink. Recovery must replay nothing
+    // (offset log), re-emit nothing (sink metadata log = exactly-once
+    // across the restart), and — the part that needs the state store,
+    // not just offsets — the window CUT by the stop point (half its
+    // rows processed before, half after) must surface once, complete,
+    // byte-equal to the batch build. The stop boundary is pinned
+    // mid-window by construction (windows are 10 consecutive doc
+    // minutes; the cut doc_id is forced to != the window-opening
+    // residue), so the recovered-partial-state path cannot be
+    // accidentally skipped at any SF.
+    "stream_restart_check" -> { (s, dir) =>
+      Graft.ensure(s)
+      val in = java.nio.file.Files.createTempDirectory("graft_restart_in").toString
+      val out = java.nio.file.Files.createTempDirectory("graft_restart_out").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_restart_ck").toString
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      val rows =
+        try {
+          val base = docs(s, dir).select(col("doc_id"),
+            timestamp_seconds(lit(1700000000L) + col("doc_id") * 60L).as("ts"))
+          val nDocs = base.count()
+          // windows hold docs {10k+7 .. 10k+16} (epoch base 1700000000
+          // is 200 s into its window); a cut at doc_id ≡ 2 (mod 10)
+          // always lands 5 docs into a window
+          val cut = (nDocs / 2 / 10) * 10 + 2
+          def tsOf(d: Long) = 1700000000L + d * 60L
+          val wb = (tsOf(cut) / 600L) * 600L // the window the stop splits
+          val splitSpansWindow = tsOf(cut - 1) >= wb && cut + 30 < nDocs
+          def stage(from: Long, until: Long, first: Boolean): Unit =
+            base.filter(col("doc_id") >= lit(from) && col("doc_id") < lit(until))
+              .coalesce(1).write.mode(if (first) "overwrite" else "append").parquet(in)
+          val schema = base.schema
+          s.conf.set("spark.sql.shuffle.partitions", "4")
+          def runOnce(): Unit = {
+            val q = s.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1").parquet(in)
+              .withWatermark("ts", "600 seconds")
+              .groupBy(window(col("ts"), "10 minutes"))
+              .agg(expr("hll_agg(cast(doc_id as string))").as("hll"),
+                count(lit(1)).as("n"))
+              .select(col("window.start").cast("long").as("ws"), col("hll"), col("n"))
+              .writeStream.outputMode("append").format("parquet")
+              .option("path", out).option("checkpointLocation", ckpt)
+              .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+            q.awaitTermination()
+          }
+          // run 1: two ascending slices exist; drains and stops
+          stage(0L, cut / 2, first = true); stage(cut / 2, cut, first = false)
+          runOnce()
+          val phaseA = s.read.parquet(out).select(col("ws")).collect()
+            .map(_.getLong(0)).toSet
+          // more corpus arrives; run 2 restarts on the same checkpoint
+          stage(cut, (cut + nDocs) / 2, first = false)
+          stage((cut + nDocs) / 2, nDocs, first = false)
+          runOnce()
+          val streamed = s.read.parquet(out) // sink metadata log = committed only
+          val cutoff = tsOf(nDocs - 1) - 600L
+          val batch = base
+            .groupBy(window(col("ts"), "10 minutes"))
+            .agg(expr("hll_agg(cast(doc_id as string))").as("hll"),
+              count(lit(1)).as("n"))
+            .select(col("window.start").cast("long").as("ws"), col("hll"), col("n"))
+            .filter(col("ws") + 600L <= lit(cutoff))
+          val nStreamed = streamed.count()
+          val nDistinct = streamed.select(col("ws")).distinct().count()
+          val boundaryOk = splitSpansWindow && !phaseA.contains(wb) &&
+            streamed.filter(col("ws") === lit(wb)).count() == 1L
+          batch.as("b").join(streamed.as("st"), "ws")
+            .select(col("ws").as("window_start"),
+              col("b.n").as("n_docs"),
+              (col("b.hll") === col("st.hll")).as("hll_equal_batch"),
+              (col("b.n") === col("st.n")).as("count_equal_batch"),
+              lit(batch.count() == nStreamed).as("window_sets_equal"),
+              lit(nStreamed == nDistinct).as("no_reemission_after_restart"),
+              lit(phaseA.nonEmpty && phaseA.size < nStreamed).as("both_runs_emitted"),
+              lit(boundaryOk).as("split_window_recovered_once"))
+            .orderBy("window_start").collect().toSeq
+        } finally {
+          s.conf.set("spark.sql.shuffle.partitions", prevParts)
+          graft.util.GraftFiles.deleteRecursively(in)
+          graft.util.GraftFiles.deleteRecursively(out)
+          graft.util.GraftFiles.deleteRecursively(ckpt)
+        }
+      import s.implicits._
+      rows.map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getBoolean(3),
+          r.getBoolean(4), r.getBoolean(5), r.getBoolean(6), r.getBoolean(7)))
+        .toDF("window_start", "n_docs", "hll_equal_batch", "count_equal_batch",
+          "window_sets_equal", "no_reemission_after_restart", "both_runs_emitted",
+          "split_window_recovered_once")
+    },
+
     // Stream-STREAM inner join with event-time range condition — the
     // continuous form of enrichment joins (doc stream x annotation
     // stream). Both sides are watermarked and the join carries a time
@@ -1092,6 +1188,16 @@ object PipelineQueries {
     "stream_windowed_sketch_check" ->
       ("SELECT window_start, n_docs, TRUE AS hll_equal_batch, " +
         "TRUE AS count_equal_batch, TRUE AS window_sets_equal FROM (" +
+        "SELECT ((1700000000 + doc_id * 60) // 600) * 600 AS window_start, " +
+        "count(*) AS n_docs FROM documents GROUP BY 1) w " +
+        "WHERE window_start + 600 <= " +
+        "(SELECT max(1700000000 + doc_id * 60) - 600 FROM documents) " +
+        "ORDER BY window_start"),
+    "stream_restart_check" ->
+      ("SELECT window_start, n_docs, TRUE AS hll_equal_batch, " +
+        "TRUE AS count_equal_batch, TRUE AS window_sets_equal, " +
+        "TRUE AS no_reemission_after_restart, TRUE AS both_runs_emitted, " +
+        "TRUE AS split_window_recovered_once FROM (" +
         "SELECT ((1700000000 + doc_id * 60) // 600) * 600 AS window_start, " +
         "count(*) AS n_docs FROM documents GROUP BY 1) w " +
         "WHERE window_start + 600 <= " +
