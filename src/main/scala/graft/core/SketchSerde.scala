@@ -63,6 +63,8 @@ object SketchSerde {
       case FreqSketch.MAGIC | FreqSketch.MagicV1 => FreqSketch.fromBytes(bytes)
       case Theta.MAGIC   => Theta.fromBytes(bytes)
       case BottomKSample.MAGIC => BottomKSample.fromBytes(bytes)
+      case CountSketch.MAGIC => CountSketch.fromBytes(bytes)
+      case DecayedCms.Magic  => DecayedCms.fromBytes(bytes)
       case m             => throw new IllegalArgumentException(f"unknown sketch magic 0x$m%08x")
     }
   }

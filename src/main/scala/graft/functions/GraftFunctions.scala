@@ -85,6 +85,9 @@ object Graft {
     r.register("hll_agg", udaf(new HllAgg(Hll.DefaultP, SketchSeed)))
     r.register("theta_agg", udaf(new ThetaAgg(Theta.DefaultK, SketchSeed)))
     r.register("cms_agg", udaf(new CmsAgg(Cms.DefaultDepth, Cms.DefaultWidth, SketchSeed)))
+    // O79: Count Sketch, the unbiased/turnstile frequency sketch
+    r.register("cs_agg", udaf(new CountSketchAgg(
+      CountSketch.DefaultDepth, CountSketch.DefaultWidth, SketchSeed)))
     // O68: time-decayed CMS, 1-hour half-life (lambda = ln2/3600);
     // other half-lives go through the Column API with a custom udaf
     r.register("dcms_agg", udaf(new DecayedCmsAgg(
@@ -112,6 +115,7 @@ object Graft {
     r.register("tdigest_merge_agg", udaf(new TDigestMergeAgg))
     r.register("topk_merge_agg", udaf(new TopKMergeAgg))
     r.register("sample_merge_agg", udaf(new BottomKMergeAgg))
+    r.register("cs_merge_agg", udaf(new CountSketchMergeAgg))
 
     // scalar functions over serialized sketches. Each deserializes via a
     // per-thread cache keyed by content hash, so probing N rows against
@@ -178,6 +182,19 @@ object Graft {
     // eps*totalA*totalB whp — sketch-driven join planning
     r.register("cms_inner_product",
       (a: Array[Byte], b: Array[Byte]) => SketchCache.cms(a).innerProduct(SketchCache.cms(b)))
+    // O79 Count Sketch scalars: the estimators are signed/unbiased —
+    // cs_estimate can read negative on a never-inserted key (CMS
+    // cannot); null key -> 0 for build/probe symmetry as above. The
+    // inner-product / F2 estimators are the AMS unbiased join-size /
+    // self-join-size estimators (Double: real-valued by nature, and a
+    // signed Long row-dot would wrap at 10^12-row totals).
+    r.register("cs_estimate",
+      (sk: Array[Byte], key: String) =>
+        if (key == null) 0L else SketchCache.cs(sk).estimate(key))
+    r.register("cs_total", (sk: Array[Byte]) => SketchCache.cs(sk).total)
+    r.register("cs_inner_product",
+      (a: Array[Byte], b: Array[Byte]) => SketchCache.cs(a).innerProduct(SketchCache.cs(b)))
+    r.register("cs_f2", (sk: Array[Byte]) => SketchCache.cs(sk).f2)
     r.register("dcms_estimate",
       (sk: Array[Byte], key: String, tNow: Double) =>
         if (key == null) 0.0 else SketchCache.dcms(sk).estimate(key, tNow))
@@ -399,4 +416,5 @@ object SketchCache {
   def theta(b: Array[Byte]): Theta = get(b, classOf[Theta], Theta.fromBytes)
   def dcms(b: Array[Byte]): DecayedCms = get(b, classOf[DecayedCms], DecayedCms.fromBytes)
   def bks(b: Array[Byte]): BottomKSample = get(b, classOf[BottomKSample], BottomKSample.fromBytes)
+  def cs(b: Array[Byte]): CountSketch = get(b, classOf[CountSketch], CountSketch.fromBytes)
 }

@@ -73,6 +73,18 @@ object SketchAggregators {
     def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
   }
 
+  /** O79: Count Sketch — the unbiased/turnstile twin of [[CmsAgg]]
+    * (see [[graft.core.CountSketch]]). */
+  final class CountSketchAgg(depth: Int, width: Int, seed: Long)
+      extends Aggregator[String, CountSketch, Array[Byte]] {
+    def zero: CountSketch = CountSketch.empty(depth, width, seed)
+    def reduce(b: CountSketch, key: String): CountSketch = { if (key != null) b.add(key); b }
+    def merge(a: CountSketch, b: CountSketch): CountSketch = a.merge(b)
+    def finish(b: CountSketch): Array[Byte] = b.toBytes
+    def bufferEncoder: Encoder[CountSketch] = Encoders.kryo[CountSketch]
+    def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
   final class CmsAgg(depth: Int, width: Int, seed: Long)
       extends Aggregator[String, Cms, Array[Byte]] {
     def zero: Cms = Cms.empty(depth, width, seed)
@@ -397,4 +409,6 @@ object SketchAggregators {
       extends BytesMergeAgg[DecayedCms](DecayedCms.fromBytes, _ merge _, _.toBytes)
   final class BottomKMergeAgg
       extends BytesMergeAgg[BottomKSample](BottomKSample.fromBytes, _ merge _, _.toBytes)
+  final class CountSketchMergeAgg
+      extends BytesMergeAgg[CountSketch](CountSketch.fromBytes, _ merge _, _.toBytes)
 }

@@ -210,6 +210,83 @@ object SketchQueries {
         lit(est <= exact + bound).as("within_published_bound"))
     },
 
+    // O79: Count Sketch, the unbiased twin of O34 — both sketch pairs
+    // estimate the same join size from sketches ALONE, but the CMS form
+    // only over-estimates while the Count-Sketch/AMS form is unbiased
+    // (median of per-row dot products, each with variance
+    // <= 2*F2(A)*F2(B)/width). Gated at 4 sigma of that bound against
+    // the exact join count (DuckDB recomputes it), alongside the AMS
+    // self-join-size (F2) estimator at its own 4-sigma bound
+    // (var <= 2*F2^2/width). Fixed seed: deterministic, no flakiness.
+    "cs_join_size_check" -> { (s, dir) =>
+      Graft.ensure(s)
+      val li = lineitem(s, dir)
+      val ord = s.read.parquet(s"$dir/orders.parquet")
+      val a = CountSketch.fromBytes(li.select(expr("cs_agg(cast(l_orderkey as string))"))
+        .head.getAs[Array[Byte]](0))
+      val b = CountSketch.fromBytes(ord.select(expr("cs_agg(cast(o_orderkey as string))"))
+        .head.getAs[Array[Byte]](0))
+      val est = a.innerProduct(b)
+      val exact = li.join(ord, li("l_orderkey") === ord("o_orderkey")).count()
+      val f2a = li.groupBy("l_orderkey").count()
+        .agg(sum(col("count") * col("count"))).head.getLong(0)
+      val f2b = ord.groupBy("o_orderkey").count()
+        .agg(sum(col("count") * col("count"))).head.getLong(0)
+      val sigmaJoin = math.sqrt(2.0 * f2a.toDouble * f2b.toDouble / a.width)
+      val sigmaF2 = math.sqrt(2.0 / a.width) * f2a.toDouble
+      s.range(1).select(
+        lit(exact).as("exact_join_size"),
+        lit(math.abs(est - exact.toDouble) <= 4.0 * sigmaJoin).as("within_4sigma"),
+        lit(math.abs(a.f2 - f2a.toDouble) <= 4.0 * sigmaF2).as("f2_within_4sigma"))
+    },
+
+    // O79 point estimates: per-token count within the published
+    // TWO-SIDED bound |est - true| <= 3*sqrt(F2/width) — the signed
+    // estimator can under-estimate (CMS cannot), and on Zipf token
+    // streams sqrt(F2) tracks the heavy hitters, not the total mass,
+    // which is why Count Sketch beats CMS's eps*N on skew. exact is a
+    // real value column (DuckDB recomputes the grouped counts).
+    "cs_point_check" -> { (s, dir) =>
+      Graft.ensure(s)
+      val t = tokens(s, dir)
+      val cs = CountSketch.fromBytes(
+        t.select(expr("cs_agg(token)")).head.getAs[Array[Byte]](0))
+      val f2 = t.groupBy("token").count()
+        .agg(sum(col("count") * col("count"))).head.getLong(0)
+      val bound = 3.0 * math.sqrt(f2.toDouble / cs.width)
+      val est = udf((tok: String) => cs.estimate(tok))
+      t.groupBy(col("token")).agg(count(lit(1)).as("exact"))
+        .withColumn("est", est(col("token")))
+        .select(col("token"), col("exact"),
+          (abs(col("est") - col("exact")) <= lit(bound)).as("within_bound"))
+        .orderBy("token")
+    },
+
+    // O79 turnstile + linearity: (1) retracting the odd-doc token
+    // sub-multiset from the full-corpus sketch by elementwise
+    // subtraction must be BYTE-identical to building over the even docs
+    // only — exact deletion at multiset granularity, the capability CMS
+    // trades for its one-sided bound; (2) a per-partition build merged
+    // through the SQL cs_merge_agg must be byte-identical to the
+    // one-shot build (linear => merge-order-free).
+    "cs_turnstile_check" -> { (s, dir) =>
+      Graft.ensure(s)
+      val d = docs(s, dir).select(col("doc_id"),
+        explode(split(col("text"), " ")).as("token"))
+      def csBytes(df: DataFrame): Array[Byte] =
+        df.select(expr("cs_agg(token)")).head.getAs[Array[Byte]](0)
+      val allBytes = csBytes(d)
+      val odd = CountSketch.fromBytes(csBytes(d.filter(pmod(col("doc_id"), lit(2)) === 1)))
+      val evenBytes = csBytes(d.filter(pmod(col("doc_id"), lit(2)) === 0))
+      val retracted = CountSketch.fromBytes(allBytes).subtract(odd).toBytes
+      val merged = d.groupBy(pmod(col("doc_id"), lit(8)))
+        .agg(expr("cs_agg(token)").as("sk"))
+        .agg(expr("cs_merge_agg(sk)")).head.getAs[Array[Byte]](0)
+      s.range(1).select(
+        lit(java.util.Arrays.equals(retracted, evenBytes)).as("retraction_byte_exact"),
+        lit(java.util.Arrays.equals(merged, allBytes)).as("merge_byte_identical"))
+    },
+
     // the literal-sketch REWRITE path in the driver gate: the collected
     // CMS probed as an X'..' literal in pure SQL — which
     // ReplaceLiteralEbfProbe rewrites to the once-per-task native
@@ -889,6 +966,15 @@ object SketchQueries {
     "cms_join_size_check" ->
       ("SELECT (SELECT COUNT(*) FROM lineitem JOIN orders ON l_orderkey = o_orderkey) " +
         "AS exact_join_size, TRUE AS overestimates, TRUE AS within_published_bound"),
+    "cs_join_size_check" ->
+      ("SELECT (SELECT COUNT(*) FROM lineitem JOIN orders ON l_orderkey = o_orderkey) " +
+        "AS exact_join_size, TRUE AS within_4sigma, TRUE AS f2_within_4sigma"),
+    "cs_point_check" ->
+      ("SELECT token, COUNT(*) AS exact, TRUE AS within_bound FROM " +
+        "(SELECT unnest(string_split(text, ' ')) AS token FROM documents) " +
+        "GROUP BY token ORDER BY token"),
+    "cs_turnstile_check" ->
+      "SELECT TRUE AS retraction_byte_exact, TRUE AS merge_byte_identical",
     "cms_literal_probe_check" ->
       "SELECT token, TRUE AS over, TRUE AS within_eps FROM (SELECT DISTINCT unnest(string_split(text, ' ')) AS token FROM documents) ORDER BY token",
     "approx_distinct_rewrite_check" ->
