@@ -60,6 +60,13 @@ object Graft {
         spark.experimental.extraOptimizations =
           spark.experimental.extraOptimizations :+ graft.plans.ApproxModeRewriteRule
       }
+      // opt-in top-k-by-count -> Misra-Gries (fires only when
+      // spark.graft.approxTopK.enabled=true; exact below capacity,
+      // heavy-hitter estimate beyond — see ApproxTopKRewriteRule)
+      if (!spark.experimental.extraOptimizations.contains(graft.plans.ApproxTopKRewriteRule)) {
+        spark.experimental.extraOptimizations =
+          spark.experimental.extraOptimizations :+ graft.plans.ApproxTopKRewriteRule
+      }
       // native codegen'd SQL expressions (the UDF registry can't host
       // Expression builders; goes through the sessionState shim)
       val natives = Seq(

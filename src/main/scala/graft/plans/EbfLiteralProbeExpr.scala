@@ -158,6 +158,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => ApproxDistinctRewriteRule)
     ext.injectOptimizerRule(_ => ApproxPercentileRewriteRule)
     ext.injectOptimizerRule(_ => ApproxModeRewriteRule)
+    ext.injectOptimizerRule(_ => ApproxTopKRewriteRule)
     ext.injectFunction(Hash128Expr.sqlDescriptor("graft_hash128_h1", 0))
     ext.injectFunction(Hash128Expr.sqlDescriptor("graft_hash128_h2", 1))
     ext.injectFunction(GraftShardExpr.sqlDescriptor)

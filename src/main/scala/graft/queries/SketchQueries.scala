@@ -608,6 +608,44 @@ object SketchQueries {
         "est_is_max_count")
     },
 
+    // O80: the opt-in top-k-by-count -> Misra-Gries rewrite, inside the
+    // driver's oracle gate: with the rule ON, the canonical "20 most
+    // frequent tokens" SQL must produce rows IDENTICAL to DuckDB's
+    // exact evaluation — counts, membership and (cnt desc, token) order
+    // all — because the corpus vocabulary fits the 256-slot capacity,
+    // where Misra-Gries is exact by construction. The plan assert pins
+    // that the rows came through the rewritten path (one MG buffer per
+    // task through the exchange instead of one row per distinct token).
+    "approx_topk_rewrite_check" -> { (s, dir) =>
+      Graft.ensure(s)
+      // the MG aggregate sits mid-plan (under Generate/Project), so the
+      // detection must walk EVERY node's expressions, not the root's
+      def mgAggs(df: DataFrame): Int = {
+        var n = 0
+        df.queryExecution.optimizedPlan.foreach(p => p.expressions.foreach(_.foreach {
+          case _: graft.plans.TopKPairsAggExpr => n += 1
+          case _ =>
+        }))
+        n
+      }
+      val base = tokens(s, dir).filter(col("token") =!= "")
+        .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("token").asc).limit(20)
+      require(mgAggs(base) == 0, "rule must be off by default")
+      s.conf.set("spark.graft.approxTopK.enabled", "true")
+      try {
+        val q = tokens(s, dir).filter(col("token") =!= "")
+          .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("token").asc).limit(20)
+        require(mgAggs(q) == 1,
+          "approxTopK rule did not fire on the top-k-by-count shape")
+        val rows = q.collect()
+        import s.implicits._
+        rows.map(r => (r.getString(0), r.getLong(1))).toSeq
+          .toDF("token", "cnt")
+      } finally s.conf.unset("spark.graft.approxTopK.enabled")
+    },
+
     // O56: CMS heavy-change detection (Cormode-Muthukrishnan's "what's
     // new" question): the tokens whose frequency moved most between two
     // corpus halves, from TWO mergeable 230KB sketches instead of two
@@ -981,6 +1019,10 @@ object SketchQueries {
       ("SELECT lang, count(DISTINCT doc_id) AS ndv_exact, TRUE AS rewrite_fired, " +
         "TRUE AS est_equals_library_hll, TRUE AS within_bound " +
         "FROM documents GROUP BY lang ORDER BY lang"),
+    "approx_topk_rewrite_check" ->
+      ("SELECT token, COUNT(*) AS cnt FROM (SELECT unnest(string_split(text, ' ')) " +
+        "AS token FROM documents) WHERE token <> '' GROUP BY token " +
+        "ORDER BY cnt DESC, token ASC LIMIT 20"),
     "approx_mode_rewrite_check" ->
       ("SELECT lang, (SELECT source FROM documents d2 WHERE d2.lang = d.lang " +
         "GROUP BY source ORDER BY count(*) DESC, source LIMIT 1) AS mode_est, " +
