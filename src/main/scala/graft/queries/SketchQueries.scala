@@ -681,6 +681,38 @@ object SketchQueries {
         .orderBy(desc("change"), asc("token"))
     },
 
+    // O79 composed: heavy-change detection from ONE subtraction.
+    // Count Sketch is linear, so sketch(late) - sketch(early) IS a
+    // sketch of the SIGNED change multiset — per-token change reads
+    // directly off the delta sketch, two-sided-bounded by
+    // 3*sqrt(F2(delta)/width), where F2(delta) = sum (f_late-f_early)^2
+    // is the second moment of the CHANGE. Contrast O56 above: the CMS
+    // pair's error budget scales with eps*(N_early + N_late) — the
+    // corpus sizes — while this one scales with how much actually
+    // changed, which is exactly what a between-snapshots drift monitor
+    // wants (tiny drift => tiny error, whatever the corpus size).
+    "cs_heavy_change_check" -> { (s, dir) =>
+      Graft.ensure(s)
+      val tok = docs(s, dir).select(pmod(col("doc_id"), lit(2)).as("h"),
+          explode(split(col("text"), " ")).as("token"))
+        .filter(col("token") =!= "")
+      def csOf(h: Int): CountSketch = CountSketch.fromBytes(
+        tok.filter(col("h") === h).select(expr("cs_agg(token)"))
+          .head.getAs[Array[Byte]](0))
+      val delta = csOf(1).subtract(csOf(0))
+      val exact = tok.groupBy(col("token")).agg(
+          sum(when(col("h") === 0, 1L).otherwise(0L)).as("early"),
+          sum(when(col("h") === 1, 1L).otherwise(0L)).as("late"))
+        .withColumn("change", col("late") - col("early"))
+      val f2delta = exact.agg(sum(col("change") * col("change"))).head.getLong(0)
+      val bound = 3.0 * math.sqrt(f2delta.toDouble / delta.width)
+      val est = udf((t: String) => delta.estimate(t))
+      exact.orderBy(abs(col("change")).desc, col("token").asc).limit(20)
+        .select(col("token"), col("early"), col("late"), col("change"),
+          (abs(est(col("token")) - col("change")) <= lit(bound)).as("within_bound"))
+        .orderBy(abs(col("change")).desc, col("token").asc)
+    },
+
     "cms_tokens_agg_equivalence" -> { (s, dir) =>
       Graft.ensure(s)
       // document-level tokenizing aggregator == exploded-row aggregator
@@ -1122,6 +1154,13 @@ object SketchQueries {
         "TRUE AS within_bound, TRUE AS at_capacity FROM lineitem"),
     "theta_merge_equivalence" ->
       "SELECT TRUE AS byte_identical",
+    "cs_heavy_change_check" ->
+      ("SELECT token, early, late, late - early AS change, TRUE AS within_bound FROM (" +
+        "SELECT token, COUNT(*) FILTER (WHERE h = 0) AS early, " +
+        "COUNT(*) FILTER (WHERE h = 1) AS late FROM (" +
+        "SELECT doc_id % 2 AS h, unnest(string_split(text, ' ')) AS token " +
+        "FROM documents) WHERE token <> '' GROUP BY token) " +
+        "ORDER BY ABS(late - early) DESC, token ASC LIMIT 20"),
     "cms_heavy_change_check" ->
       ("WITH toks AS (SELECT doc_id % 2 AS h, unnest(string_split(text, ' ')) AS token " +
         "FROM documents), " +
