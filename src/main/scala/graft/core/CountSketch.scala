@@ -91,6 +91,27 @@ final class CountSketch(var depth: Int, var width: Int, var seed: Long)
   def estimate(key: String): Long = estimateHash(Hash128.hashString(key, seed))
   def estimate(key: Long): Long = estimateHash(Hash128.hashLong(key, seed))
 
+  /** Add every space-separated token of `text` (count 1 each) without
+    * materializing per-token strings — the [[Cms.addTextTokens]]
+    * pattern: tokens hash as byte ranges of one UTF-8 encoding, one
+    * allocation per document instead of one per token. By linearity
+    * the resulting sketch is BYTE-identical to adding each non-empty
+    * token via [[add]] (spec-asserted). */
+  def addTextTokens(text: String): Unit = {
+    if (text == null || text.isEmpty) return
+    val bytes = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var start = 0
+    var i = 0
+    val n = bytes.length
+    while (i <= n) {
+      if (i == n || bytes(i) == ' ') {
+        if (i > start) addHash(Hash128.hashBytesRange(bytes, start, i - start, seed), 1L)
+        start = i + 1
+      }
+      i += 1
+    }
+  }
+
   def merge(other: CountSketch): CountSketch = {
     require(depth == other.depth && width == other.width && seed == other.seed,
       "cannot merge CountSketch with different parameters")

@@ -95,6 +95,8 @@ object Graft {
     // O79: Count Sketch, the unbiased/turnstile frequency sketch
     r.register("cs_agg", udaf(new CountSketchAgg(
       CountSketch.DefaultDepth, CountSketch.DefaultWidth, SketchSeed)))
+    r.register("cs_tokens_agg", udaf(new CsTokensAgg(
+      CountSketch.DefaultDepth, CountSketch.DefaultWidth, SketchSeed)))
     // O68: time-decayed CMS, 1-hour half-life (lambda = ln2/3600);
     // other half-lives go through the Column API with a custom udaf
     r.register("dcms_agg", udaf(new DecayedCmsAgg(

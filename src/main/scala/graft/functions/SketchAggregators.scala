@@ -85,6 +85,21 @@ object SketchAggregators {
     def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
   }
 
+  /** [[CountSketchAgg]] over the TOKENS of a text column — the same
+    * no-exploded-relation rationale as [[CmsTokensAgg]]; byte-identical
+    * to the exploded `cs_agg(token)` build by linearity. */
+  final class CsTokensAgg(depth: Int, width: Int, seed: Long)
+      extends Aggregator[String, CountSketch, Array[Byte]] {
+    def zero: CountSketch = CountSketch.empty(depth, width, seed)
+    def reduce(b: CountSketch, text: String): CountSketch = {
+      if (text != null) b.addTextTokens(text); b
+    }
+    def merge(a: CountSketch, b: CountSketch): CountSketch = a.merge(b)
+    def finish(b: CountSketch): Array[Byte] = b.toBytes
+    def bufferEncoder: Encoder[CountSketch] = Encoders.kryo[CountSketch]
+    def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+  }
+
   final class CmsAgg(depth: Int, width: Int, seed: Long)
       extends Aggregator[String, Cms, Array[Byte]] {
     def zero: Cms = Cms.empty(depth, width, seed)

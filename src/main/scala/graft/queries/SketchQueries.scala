@@ -696,9 +696,12 @@ object SketchQueries {
       val tok = docs(s, dir).select(pmod(col("doc_id"), lit(2)).as("h"),
           explode(split(col("text"), " ")).as("token"))
         .filter(col("token") =!= "")
+      // token-kernel build (cs_tokens_agg): one allocation per doc, no
+      // exploded token relation — byte-identical to the exploded
+      // cs_agg(token) build by linearity (spec-pinned)
       def csOf(h: Int): CountSketch = CountSketch.fromBytes(
-        tok.filter(col("h") === h).select(expr("cs_agg(token)"))
-          .head.getAs[Array[Byte]](0))
+        docs(s, dir).filter(pmod(col("doc_id"), lit(2)) === h)
+          .select(expr("cs_tokens_agg(text)")).head.getAs[Array[Byte]](0))
       val delta = csOf(1).subtract(csOf(0))
       val exact = tok.groupBy(col("token")).agg(
           sum(when(col("h") === 0, 1L).otherwise(0L)).as("early"),

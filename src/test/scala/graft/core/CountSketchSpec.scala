@@ -126,6 +126,18 @@ class CountSketchSpec extends AnyFunSuite {
     assert(SketchSerde.fromBytes(spBytes).isInstanceOf[CountSketch])
   }
 
+  test("addTextTokens is byte-identical to per-token adds, skipping empties") {
+    val texts = Seq("the cat  sat", "", " leading and trailing ", "one", null)
+    val kernel = CountSketch.empty()
+    texts.foreach(kernel.addTextTokens)
+    val perToken = CountSketch.empty()
+    texts.filter(_ != null).flatMap(_.split(" ")).filter(_.nonEmpty)
+      .foreach(perToken.add(_))
+    assert(java.util.Arrays.equals(kernel.toBytes, perToken.toBytes))
+    assert(kernel.estimate("the") === 1L)
+    assert(kernel.estimate("sat") === 1L)
+  }
+
   test("parameter mismatches are refused") {
     val a = CountSketch.empty(depth = 5)
     val b = CountSketch.empty(depth = 7)
