@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.core.{Cms, FreqSketch, Kll, TDigest}
+import graft.core.{Cms, CountSketch, FreqSketch, Kll, TDigest}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
@@ -39,6 +39,14 @@ object SketchScalarKinds {
     }
   }
 
+  case object CsEstimate extends SketchScalarKind("cs_estimate", StringType, LongType) {
+    def deserialize(b: Array[Byte]): AnyRef = CountSketch.fromBytes(b)
+    def eval(sk: AnyRef, arg: Any): Any = {
+      val k = str(arg)
+      if (k == null) 0L else sk.asInstanceOf[CountSketch].estimate(k)
+    }
+  }
+
   case object TopkEstimate extends SketchScalarKind("topk_estimate", StringType, LongType) {
     def deserialize(b: Array[Byte]): AnyRef = FreqSketch.fromBytes(b)
     def eval(sk: AnyRef, arg: Any): Any = {
@@ -73,7 +81,7 @@ object SketchScalarKinds {
 
   /** fnName -> kind, for the optimizer rule's udfName match. */
   val all: Map[String, SketchScalarKind] =
-    Seq(CmsEstimate, TopkEstimate, KllQuantile, KllRank, TdQuantile, TdCdf)
+    Seq(CmsEstimate, CsEstimate, TopkEstimate, KllQuantile, KllRank, TdQuantile, TdCdf)
       .map(k => k.fnName -> k).toMap
 }
 

@@ -45,6 +45,23 @@ class SketchLiteralScalarSpec extends AnyFunSuite {
     got.foreach { case (tok, est) => assert(est === cms.estimate(tok), s"token $tok") }
   }
 
+  test("cs_estimate(literal, per-row key) rewrites; signed estimates and null key match the UDF path") {
+    val cs = graft.core.CountSketch.empty(width = 1024)
+    (0 until 2000).foreach(i => cs.add(s"t${i % 50}"))
+    cs.add("gone", -7L) // signed cell content flows through the rewrite
+    val probes = spark.range(20).select(
+      when(col("id") < 15, concat(lit("t"), col("id") % 60))
+        .otherwise(lit(null).cast("string")).as("tok"))
+    val df = probes.select(col("tok"),
+      expr(s"cs_estimate(X'${hex(cs.toBytes)}', tok)").as("est"))
+    assert(hasNative(df), s"rule did not fire:\n${df.queryExecution.optimizedPlan}")
+    assert(noUdf(df))
+    df.collect().foreach { r =>
+      val expected = if (r.isNullAt(0)) 0L else cs.estimate(r.getString(0))
+      assert(r.getLong(1) === expected)
+    }
+  }
+
   test("topk_estimate(literal, per-row key) rewrites; null key estimates 0") {
     val fs = FreqSketch.empty(capacity = 64)
     (0 until 500).foreach(i => fs.add(s"w${i % 10}"))
