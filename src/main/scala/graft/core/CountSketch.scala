@@ -76,15 +76,19 @@ final class CountSketch(var depth: Int, var width: Int, var seed: Long)
   /** Median of the per-row unbiased estimates sign*cell. Published
     * guarantee: |estimate - true| <= 3*sqrt(F2/width) with probability
     * >= 1 - exp(-Omega(depth)). Even depth takes the lower-middle order
-    * statistic (depth defaults odd). */
+    * statistic (depth defaults odd). The median scratch is a
+    * THREAD-LOCAL (not an instance field): this runs per probe row on
+    * the UDF/literal-expression path, and SketchCache shares big
+    * deserialized instances across task threads — instance state would
+    * race where a per-thread array costs one allocation per thread. */
   def estimateHash(h: Hash128.H): Long = {
-    val vs = new Array[Long](depth)
+    val vs = CountSketch.medianScratch.get()
     var r = 0
     while (r < depth) {
       vs(r) = signOf(h, r) * table(r * width + cellOf(h.derived(r + 1)))
       r += 1
     }
-    java.util.Arrays.sort(vs)
+    java.util.Arrays.sort(vs, 0, depth)
     vs((depth - 1) / 2)
   }
 
@@ -248,6 +252,12 @@ final class CountSketch(var depth: Int, var width: Int, var seed: Long)
 
 object CountSketch {
   val MAGIC: Int = 0x43534b31 // "CSK1"
+
+  /** Per-thread median scratch (depth <= 16 by construction). */
+  private val medianScratch: ThreadLocal[Array[Long]] =
+    new ThreadLocal[Array[Long]] {
+      override def initialValue(): Array[Long] = new Array[Long](16)
+    }
 
   @inline private[core] def zigzag(v: Long): Long = (v << 1) ^ (v >> 63)
   @inline private[core] def unzigzag(v: Long): Long = (v >>> 1) ^ -(v & 1L)
