@@ -121,6 +121,31 @@ class ApproxTopKRuleSpec extends AnyFunSuite with BeforeAndAfterEach {
     assert(topkAggs(dist.queryExecution.optimizedPlan) === 0)
   }
 
+  test("composes with the approx-distinct rule in one plan") {
+    enable()
+    spark.conf.set("spark.graft.approxDistinct.enabled", "true")
+    try {
+      // top-k subtree under a join with a COUNT(DISTINCT) subtree: both
+      // rewrites must fire in their own subtrees of the same plan
+      val top = topk(t, "token", 5)
+      val ndv = t.agg(countDistinct(col("skewed")).as("ndv"))
+      val q = top.crossJoin(ndv)
+      val plan = q.queryExecution.optimizedPlan
+      assert(topkAggs(plan) === 1, s"topk rewrite missing:\n$plan")
+      var hllAggs = 0
+      plan.foreach(p => p.expressions.foreach(_.foreach {
+        case _: graft.plans.HllNdvAggExpr => hllAggs += 1
+        case _ =>
+      }))
+      assert(hllAggs === 1, s"distinct rewrite missing:\n$plan")
+      val rows = q.collect()
+      assert(rows.length === 5)
+      // top-5 tokens are exact below capacity; NDV is the HLL estimate
+      val exactTop = topk(t, "token", 5).collect().map(r => (r.getString(0), r.getLong(1)))
+      assert(rows.map(r => (r.getString(0), r.getLong(1))).toSeq === exactTop.toSeq)
+    } finally spark.conf.unset("spark.graft.approxDistinct.enabled")
+  }
+
   test("streaming aggregates are excluded") {
     enable()
     val stream = spark.readStream.format("rate")
