@@ -89,8 +89,13 @@ case class TopKPairsAggExpr(child: Expression,
   * true distinct-key count fits `capacity` (no MG decrement fires);
   * beyond that, counts undercount by at most n/capacity and the top-k
   * SET is guaranteed only for keys whose frequency clears that bound
-  * (the classic heavy-hitter contract). Result-changing, hence opt-in
-  * per query: `spark.graft.approxTopK.enabled`, optional `.capacity`.
+  * (the classic heavy-hitter contract). NULL keys are excluded from
+  * the approximate result where exact GROUP BY counts the null group
+  * as a row — the library-wide aggregator convention and the standard
+  * frequent-items posture (DataSketches frequent-items and
+  * approx-top-k implementations ignore nulls); spec-pinned.
+  * Result-changing, hence opt-in per query:
+  * `spark.graft.approxTopK.enabled`, optional `.capacity`.
   *
   * Guards: fires only on GlobalLimit/LocalLimit(k) over a global Sort
   * whose PRIMARY order is the count column DESCENDING, over a

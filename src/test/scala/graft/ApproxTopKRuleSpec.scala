@@ -121,6 +121,25 @@ class ApproxTopKRuleSpec extends AnyFunSuite with BeforeAndAfterEach {
     assert(topkAggs(dist.queryExecution.optimizedPlan) === 0)
   }
 
+  test("null keys are excluded from the approximate top-k (pinned convention)") {
+    enable()
+    // every third row null: exact GROUP BY would rank the null group
+    // first; the rewrite follows the frequent-items convention and
+    // never emits it
+    val withNulls = spark.range(3000).select(
+      when(pmod(col("id"), lit(3)) === 0, lit(null).cast("string"))
+        .otherwise(concat(lit("v"), pmod(col("id"), lit(7)))).as("token"))
+    val q = topk(withNulls, "token", 3)
+    assert(topkAggs(q.queryExecution.optimizedPlan) === 1)
+    val approx = q.collect()
+    assert(approx.forall(!_.isNullAt(0)), "null group must not surface")
+    // and it equals the exact query with nulls filtered out
+    spark.conf.unset("spark.graft.approxTopK.enabled")
+    val exactNoNull = topk(withNulls.filter(col("token").isNotNull), "token", 3).collect()
+    assert(approx.map(r => (r.getString(0), r.getLong(1))).toSeq ===
+      exactNoNull.map(r => (r.getString(0), r.getLong(1))).toSeq)
+  }
+
   test("composes with the approx-distinct rule in one plan") {
     enable()
     spark.conf.set("spark.graft.approxDistinct.enabled", "true")
