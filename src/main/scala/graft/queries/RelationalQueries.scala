@@ -137,6 +137,37 @@ object RelationalQueries {
         .na.fill(0L)
         .orderBy("o_orderpriority")
     },
+
+    // O81 bucketed co-located (SMB) join: both sides written bucketed
+    // on the join key, then joined through the sort-merge path. The
+    // same aggregate as rel_join_orders_by_segment, but the JOIN plan
+    // is proven shuffle-free on the executed plan (the write pre-paid
+    // the shuffle — the Iceberg bucket-transform pattern at 10^12
+    // rows). `join_shuffle_free` is measured, not asserted.
+    "rel_bucketed_join_check" -> { (s, dir) =>
+      import graft.pipeline.Bucketing
+      val tmpO = java.nio.file.Files.createTempDirectory("graft_bkt_orders").toString
+      val tmpC = java.nio.file.Files.createTempDirectory("graft_bkt_cust").toString
+      Bucketing.writeBucketed(
+        t(s, dir, "orders").select(col("o_custkey"), col("o_totalprice")),
+        "graft_bkt_orders", tmpO, Seq("o_custkey"), 8)
+      Bucketing.writeBucketed(
+        t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment")),
+        "graft_bkt_cust", tmpC, Seq("c_custkey"), 8)
+      Bucketing.withSortMergeOnly(s) {
+        val o = s.table("graft_bkt_orders")
+        val c = s.table("graft_bkt_cust")
+        val joined = o.join(c, o("o_custkey") === c("c_custkey"))
+          .select(col("c_mktsegment"), col("o_totalprice"))
+        joined.count() // materialize so AQE finalizes before the plan walk
+        val shuffleFree = Bucketing.countShuffles(joined) == 0
+        joined.groupBy(col("c_mktsegment"))
+          .agg(count(lit(1)).as("n_orders"),
+            round(sum(col("o_totalprice")), 2).as("total"))
+          .withColumn("join_shuffle_free", lit(shuffleFree))
+          .orderBy("c_mktsegment")
+      }
+    },
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -195,5 +226,10 @@ object RelationalQueries {
         "CAST(COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT) AS \"F\", " +
         "CAST(COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS BIGINT) AS \"P\" " +
         "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"),
+    "rel_bucketed_join_check" ->
+      ("SELECT c_mktsegment, COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS total, " +
+        "TRUE AS join_shuffle_free " +
+        "FROM orders JOIN customer ON o_custkey = c_custkey " +
+        "GROUP BY c_mktsegment ORDER BY c_mktsegment"),
   )
 }
