@@ -87,6 +87,25 @@ class BucketingSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.sources.bucketing.autoBucketedScan.enabled", "true")
   }
 
+  test("sketch builds on a bucketed table elide the exchange, bytes unchanged") {
+    // the 10^12-row composition: per-key sketch builds grouped by the
+    // bucket key read the layout's distribution straight off the scan —
+    // a billion per-host HLLs with ZERO shuffled bytes
+    graft.functions.Graft.ensure(spark)
+    import spark.implicits._
+    val docs = (1 to 4000)
+      .map(i => (s"host_${i % 37}", s"https://host_${i % 37}/p$i"))
+      .toDF("host", "url")
+    Bucketing.writeBucketed(docs, "graft_bkt_docs", freshDir("docs"), Seq("host"), 8)
+    val g = spark.table("graft_bkt_docs").groupBy("host")
+      .agg(expr("hll_agg(url)").as("hll"))
+    val got = g.collect().map(r => (r.getString(0), r.getAs[Array[Byte]](1).toSeq)).sortBy(_._1)
+    assert(Bucketing.countShuffles(g) === 0, g.queryExecution.executedPlan.toString)
+    val plain = docs.groupBy("host").agg(expr("hll_agg(url)").as("hll"))
+      .collect().map(r => (r.getString(0), r.getAs[Array[Byte]](1).toSeq)).sortBy(_._1)
+    assert(got.toSeq === plain.toSeq)
+  }
+
   test("bucketed groupBy on the bucket key also elides its exchange") {
     Bucketing.writeBucketed(facts, "graft_bkt_fg", freshDir("fg"), Seq("k"), 8)
     val g = spark.table("graft_bkt_fg").groupBy("k").agg(sum("v").as("sv"))
