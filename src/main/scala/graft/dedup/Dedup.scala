@@ -126,35 +126,79 @@ object Dedup {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Partition-local union-find contraction: replace each partition's
+    * edge list with the star forest (node -> local min root) that spans
+    * exactly the same node set — connectivity-preserving, so any
+    * composition of contractions followed by one all-edges pass yields
+    * the exact global components. Union-by-min + path compression keeps
+    * the root of every set the minimum member, per-edge cost
+    * near-constant, and the per-task hash map bounded by the distinct
+    * node count of the partition (the same bound a hash aggregation
+    * over the edge endpoints would have). */
+  private def contractPartition(it: Iterator[(Long, Long)]): Iterator[(Long, Long)] = {
+    val parent = new scala.collection.mutable.LongMap[Long]()
+    def find(x: Long): Long = {
+      var root = x
+      var p = parent.getOrElse(root, root)
+      while (p != root) { root = p; p = parent.getOrElse(root, root) }
+      var cur = x
+      while (cur != root) { val next = parent(cur); parent(cur) = root; cur = next }
+      root
+    }
+    it.foreach { case (a, b) =>
+      if (a != b) {
+        parent.getOrElseUpdate(a, a)
+        parent.getOrElseUpdate(b, b)
+        val ra = find(a)
+        val rb = find(b)
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+    }
+    // one star edge per non-root node: (node, min of its local set).
+    // Roots need no row — they reappear as the dst of their members'
+    // edges (or, if truly isolated here, carried no connectivity).
+    parent.keysIterator.map(k => (k, find(k))).filter(e => e._1 != e._2)
+  }
+
   /** Connected components over a near-dup pair graph: the transitive
     * closure every real dedup pipeline needs (pairwise candidates say
     * A~B and B~C; the corpus decision — one keeper per CLUSTER — needs
     * the component {A,B,C}).
     *
-    * Algorithm: hash-min label propagation. Every node starts with its
-    * own id as label; each round propagates the minimum label across
-    * edges until a fixpoint. Per round: one shuffle on the edge
-    * endpoints plus a min-combine groupBy — min is associative, so
-    * map-side partial aggregation absorbs high-degree (hub) nodes and
-    * the round cost is O(|E|) shuffled bytes with no skew blowup.
-    * Rounds needed = graph diameter, which for near-dup clusters is
-    * small by construction (clusters are near-cliques from band/bucket
-    * cogeneration). A pointer-doubling shortcut round (label := label
-    * of label, the path-compression half of Kiveris et al., "Connected
-    * Components in MapReduce and Beyond") was tried and REVERTED: at
-    * gate scale the extra self-join per round cost 4x wall (16 -> 63 s,
-    * then OOM with the intermediate cached) because each round gains a
-    * second shuffle + an AQE-planned self-join, while the round count
-    * it saves is small for shallow dedup graphs. For general deep
-    * graphs the O(log d) variant is the right choice at cluster scale;
-    * this engine targets dedup graphs and keeps the one-join round.
-    * Lineage is truncated with an eager localCheckpoint every 5 rounds
-    * so plan size stays O(1) across iterations.
+    * Algorithm (r6): iterative partition-local union-find contraction
+    * (the filtering step of Kiveris et al., "Connected Components in
+    * MapReduce and Beyond", done with a sequential union-find per task
+    * instead of star rounds). Each pass runs [[contractPartition]] on
+    * every partition — no shuffle for the first pass, which runs on the
+    * edges' natural partitioning — then hash-repartitions the shrunken
+    * star edges to 1/8 the partitions and contracts again, down to one
+    * partition whose local union-find is, by connectivity preservation,
+    * the exact global answer. Fixed ladder, zero fixpoint probes.
     *
-    * Convergence detection: labels only ever decrease (min-propagation
-    * is monotone), so the label sum is a strictly decreasing fixpoint
-    * witness — computed as decimal(38,0) so it cannot overflow for any
-    * id range.
+    * Why this replaces the r1-r5 hash-min label propagation loop: that
+    * loop paid (join + min-combine groupBy + cache) per GRAPH-DIAMETER
+    * round plus a label-sum action every second round — 13 rounds /
+    * ~30 Spark jobs at sf0.1 made dedup_cc_check the slowest query of
+    * the whole sweep (56.8 s in the round-6 driver baseline) with the
+    * cost dominated by per-round scheduling and AQE planning, not data.
+    * This form is 3 narrow passes + 2 small shuffles + 1 broadcast-size
+    * label join, one Spark job total. (A pointer-doubling variant of
+    * the OLD loop was A/B'd and reverted in r4 — PLAN21; this replaces
+    * the loop itself rather than shortening it.)
+    *
+    * 100 TB shape: pass 1 sees raw candidate-pair partitions (bounded
+    * by the upstream bucket join's partitioning) and needs memory for
+    * the distinct endpoints of ONE partition — the same per-task bound
+    * as any hash aggregation, tunable via partition count like every
+    * other operator here. Each pass emits <= one edge per distinct
+    * node per partition, so edge volume contracts at least 8x per rung
+    * (the fan-in) and in practice collapses to near the component count
+    * immediately: near-dup clusters are band-join near-cliques, which a
+    * single local union-find flattens to stars. The final single-task
+    * pass holds one entry per surviving node of the contracted graph —
+    * nodes that still have cross-partition edges after two contractions
+    * — not per corpus document. maxIter caps the ladder length for
+    * pathological partition counts.
     *
     * @param nodes single-column frame of node ids (long)
     * @param edges frame with id_a/id_b columns (long); direction ignored
@@ -162,35 +206,27 @@ object Dedup {
     */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
                           maxIter: Int = 30): DataFrame = {
-    val sym = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .distinct().cache()
-    var labels = nodes.select(col("id"), col("id").as("label")).cache()
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)
-    var prevSum = labelSum(labels)
-    var it = 0
-    var converged = false
-    while (!converged && it < maxIter) {
-      val prop = sym.join(labels, sym("src") === labels("id"))
-        .select(col("dst").as("id"), col("label"))
-      var next = labels.union(prop).groupBy("id").agg(min("label").as("label"))
-      next = if ((it + 1) % 5 == 0) next.localCheckpoint(true) else next.cache()
-      // monotonicity makes a 2-round sum compare sound (equal sums
-      // across the span mean NO round in it changed anything), so the
-      // fixpoint probe runs every other round — half the action count
-      // for at most one redundant propagation round
-      if (it % 2 == 1 || it == maxIter - 1) {
-        val s = labelSum(next)
-        converged = s.compareTo(prevSum) == 0
-        prevSum = s
-      }
-      labels.unpersist()
-      labels = next
-      it += 1
+    val spark = nodes.sparkSession
+    import spark.implicits._
+    var stars = edges
+      .select(col("id_a").cast("long"), col("id_b").cast("long"))
+      .as[(Long, Long)]
+      .mapPartitions(contractPartition) // narrow: no shuffle for pass 1
+    var parts = spark.sessionState.conf.numShufflePartitions
+    var rung = 0
+    while (parts > 1 && rung < maxIter) {
+      parts = math.max(1, parts / 8)
+      stars = stars.repartition(parts, col("_1")).mapPartitions(contractPartition)
+      rung += 1
     }
-    sym.unpersist()
-    labels.select(col("id"), col("label").as("component_id"))
+    val roots = stars.toDF("id", "component_id")
+    // labels: every node maps to its global root; nodes absent from the
+    // contracted star forest (isolated or component minima) label
+    // themselves. The star forest is component-count-sized by now, so
+    // AQE broadcasts it against any corpus-sized node list.
+    nodes.select(col("id"))
+      .join(roots, Seq("id"), "left")
+      .select(col("id"), coalesce(col("component_id"), col("id")).as("component_id"))
   }
 
   /** Exact word-n-gram Jaccard for candidate pairs (verification stage

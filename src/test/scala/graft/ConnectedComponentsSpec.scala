@@ -65,6 +65,32 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     assert(a.forall(_._2 == 0L))
   }
 
+  test("random graphs match a local exact union-find (r6 contraction ladder)") {
+    // deterministic pseudo-random graphs of mixed shape: chains, stars,
+    // cliques and singletons — checks the partition-local contraction
+    // ladder end-to-end against an in-memory reference
+    val rnd = new scala.util.Random(0xC06L)
+    for (trial <- 1 to 3) {
+      val n = 200 + trial * 100
+      val ids = (0L until n.toLong)
+      val es = Seq.fill(n / 2)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2)
+      // reference: sequential union-find with min roots
+      val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        r
+      }
+      es.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+      }
+      val want = ids.map(i => i -> find(i)).toMap
+      assert(run(ids, es) === want, s"trial $trial")
+    }
+  }
+
   test("keeper-per-cluster composition: component id is the min member") {
     // star + triangle sharing no nodes; keeper = min id of each
     val ids = Seq(10L, 11L, 12L, 13L, 20L, 21L, 22L)
