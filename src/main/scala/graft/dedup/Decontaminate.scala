@@ -118,10 +118,10 @@ object Decontaminate {
                                  k: Int = 16, w: Int = 8): DataFrame = {
     require(corpusId != benchId,
       s"corpus and benchmark id columns must differ (both '$corpusId')")
-    val fpUdf = udf((t: String) =>
-      graft.functions.TextFunctions.winnowFingerprints(t, k, w))
-    val cf = corpus.select(col(corpusId), explode(fpUdf(col(textCol))).as("fp"))
-    val bf = benchmark.select(col(benchId), explode(fpUdf(col(textCol))).as("fp"))
+    val fpsOf = (t: org.apache.spark.sql.Column) =>
+      graft.plans.WinnowFpExpr.column(t, k, w) // native; kernel-identical
+    val cf = corpus.select(col(corpusId), explode(fpsOf(col(textCol))).as("fp"))
+    val bf = benchmark.select(col(benchId), explode(fpsOf(col(textCol))).as("fp"))
     val bTot = bf.groupBy(benchId).agg(count(lit(1)).as("n_bench_fps"))
     cf.join(broadcast(bf), "fp")
       .groupBy(corpusId, benchId)

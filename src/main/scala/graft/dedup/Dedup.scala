@@ -32,17 +32,18 @@ object Dedup {
                    threshold: Double = 0.5): DataFrame = {
     require(numHashes % numBands == 0, "numBands must divide numHashes")
     val rows = numHashes / numBands
-    val sigUdf = udf((text: String) => TextFunctions.minhash(text, numHashes, shingleN))
-    val bandUdf = udf((sig: Seq[Long]) =>
-      (0 until numBands).map { b =>
-        var h = 1125899906842597L
-        (0 until rows).foreach(r => h = h * 31 + sig(b * rows + r))
-        h
-      })
-    val jacUdf = udf((a: Seq[Long], b: Seq[Long]) =>
-      TextFunctions.minhashJaccard(a.toArray, b.toArray))
+    // r6: signature/band/jaccard kernels are native codegen'd
+    // expressions (graft.plans.TextSigExpr) — the Scala kernels in
+    // TextFunctions remain the spec reference (byte-identical,
+    // TextSigExprSpec); the boxed udf hops they replace paid a
+    // Seq[Long] conversion per row on the widest scan of the pipeline
+    val bandsOf = (sig: org.apache.spark.sql.Column) =>
+      graft.plans.MinhashBandsExpr.column(sig, numBands, rows)
+    val jacOf = (a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =>
+      graft.plans.MinhashJaccardExpr.column(a, b)
 
-    val sigs = df.select(col(idCol).as("id"), sigUdf(col(textCol)).as("sig"))
+    val sigs = df.select(col(idCol).as("id"),
+      graft.plans.MinhashSigExpr.column(col(textCol), numHashes, shingleN).as("sig"))
 
     // band join + distinct over NARROW (band, id) rows only — the
     // 64-long signatures never ride the candidate shuffle (they would
@@ -50,7 +51,7 @@ object Dedup {
     // candidate pair for the Jaccard estimate, the same
     // bucketize-without-payload shape as Ann.lshTopK
     val bands = sigs.select(col("id"),
-      posexplode(bandUdf(col("sig"))).as(Seq("band_idx", "band_hash")))
+      posexplode(bandsOf(col("sig"))).as(Seq("band_idx", "band_hash")))
     val pairs = bands.select(col("band_idx"), col("band_hash"), col("id").as("id_a"))
       .join(bands.select(col("band_idx"), col("band_hash"), col("id").as("id_b")),
         Seq("band_idx", "band_hash"))
@@ -60,7 +61,7 @@ object Dedup {
     pairs
       .join(sigs.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
       .join(sigs.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
-      .withColumn("est_jaccard", jacUdf(col("sig_a"), col("sig_b")))
+      .withColumn("est_jaccard", jacOf(col("sig_a"), col("sig_b")))
       .filter(col("est_jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("est_jaccard"))
   }
@@ -71,8 +72,8 @@ object Dedup {
     * practice; pigeonhole guarantees recall for distance < 4). */
   def simhashPairs(df: DataFrame, textCol: String, idCol: String,
                    maxHamming: Int = 6): DataFrame = {
-    val shUdf = udf((text: String) => TextFunctions.simhash(text))
-    val sh = df.select(col(idCol).as("id"), shUdf(col(textCol)).as("simhash"))
+    val sh = df.select(col(idCol).as("id"),
+      graft.plans.SimhashExpr.column(col(textCol)).as("simhash"))
     val chunked = sh.withColumn("chunk_idx", explode(array((0 until 4).map(lit): _*)))
       .withColumn("chunk_val",
         expr("shiftrightunsigned(simhash, chunk_idx * 16)").bitwiseAND(lit(0xffffL)))
@@ -112,10 +113,18 @@ object Dedup {
   def winnowPairs(df: DataFrame, textCol: String, idCol: String,
                   k: Int = 16, w: Int = 8, minShared: Int = 2,
                   maxBucket: Int = 50): DataFrame = {
-    val fpUdf = udf((text: String) => TextFunctions.winnowFingerprints(text, k, w))
-    val fps = df.select(col(idCol).as("id"), explode(fpUdf(col(textCol))).as("fp"))
-    val counts = fps.groupBy("fp").agg(count(lit(1)).as("bucket_n"))
-    val kept = fps.join(counts, "fp")
+    val fps = df.select(col(idCol).as("id"),
+      explode(graft.plans.WinnowFpExpr.column(col(textCol), k, w)).as("fp"))
+    // bucket density via a count window over the SAME fp-partitioned
+    // exchange the self-join needs (r6): the former groupBy-counts +
+    // re-join recomputed the fingerprint scan in a third branch and
+    // added a shuffle; this way both self-join sides are the identical
+    // subtree, so the fp exchange is planned once and reused, and the
+    // ~p md5 gram hashes per doc — the dominant kernel cost — run once
+    // per side instead of once more for the counts. Result identical:
+    // count().over(partitionBy(fp)) == groupBy(fp).count re-joined.
+    val wfp = org.apache.spark.sql.expressions.Window.partitionBy(col("fp"))
+    val kept = fps.withColumn("bucket_n", count(lit(1)).over(wfp))
       .filter(col("bucket_n") >= 2 && col("bucket_n") <= maxBucket)
       .select(col("fp"), col("id"))
     kept.select(col("fp"), col("id").as("id_a"))

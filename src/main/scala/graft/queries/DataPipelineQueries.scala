@@ -135,9 +135,9 @@ object DataPipelineQueries {
     // fingerprint SET is tie-order independent (kernel scaladoc).
     "winnow_fingerprints" -> { (s, dir) =>
       Graft.ensure(s)
-      val fpUdf = udf((t: String) => TextFunctions.winnowFingerprints(t, 16, 8))
       docs(s, dir).filter(col("doc_id") % 7 === 0)
-        .select(col("doc_id"), explode(fpUdf(col("text"))).as("fp"))
+        .select(col("doc_id"),
+          explode(graft.plans.WinnowFpExpr.column(col("text"), 16, 8)).as("fp"))
         .orderBy("doc_id", "fp")
     },
 
