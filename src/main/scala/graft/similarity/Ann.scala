@@ -121,7 +121,19 @@ object Ann {
   def embeddingNearDups(corpus: DataFrame, idCol: String, vecCol: String,
                         dim: Int, threshold: Double,
                         numTables: Int = 8, numBits: Int = 10): DataFrame = {
-    // narrow bucket join -> distinct id pairs -> re-join vectors once
+    // narrow bucket join -> vector re-join + rerank -> distinct pairs.
+    // r6: the distinct moved BELOW the threshold filter. A pair that
+    // collides in several tables used to be deduplicated by a full
+    // shuffle of every candidate occurrence before the rerank; but the
+    // expected duplication factor is small (tables are independent, so
+    // a colliding pair repeats in ~1 + numTables*p extra tables for
+    // per-table collision probability p), while the dedup shuffle paid
+    // for EVERY candidate row. Re-ranking duplicates costs a few fused
+    // codegen'd cosines; deduplicating the threshold SURVIVORS is a
+    // near-dup-sized shuffle instead of a candidate-sized one. The
+    // result set is identical: cosine is a pure function of the pair,
+    // so distinct over (id_a, id_b, cosine) collapses exactly the
+    // duplicate candidates the old pre-rerank distinct did.
     val b = corpus.select(col(idCol).as("id"),
       posexplode(lshBuckets(col(vecCol), dim, numTables, numBits))
         .as(Seq("table_idx", "bucket")))
@@ -130,12 +142,12 @@ object Ann {
         Seq("table_idx", "bucket"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"))
-      .distinct()
     val va = corpus.select(col(idCol).as("id_a"), col(vecCol).as("vec_a"))
     val vb = corpus.select(col(idCol).as("id_b"), col(vecCol).as("vec_b"))
     pairs.join(va, "id_a").join(vb, "id_b")
       .withColumn("cosine", cosine(col("vec_a"), col("vec_b")))
       .filter(col("cosine") >= threshold)
       .select(col("id_a"), col("id_b"), col("cosine"))
+      .distinct()
   }
 }
