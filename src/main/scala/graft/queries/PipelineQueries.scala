@@ -647,6 +647,13 @@ object PipelineQueries {
       val tmp = java.nio.file.Files.createTempDirectory("graft_stream").toString
       docs(s, dir).repartition(4).write.mode("overwrite").parquet(tmp)
       val staged = s.read.parquet(tmp)
+      // state-store width pinned for the stream like the sibling gates
+      // (r6): this was the one streaming gate running the session's 32
+      // shuffle partitions as state-store width — 32 stateful tasks +
+      // store files per micro-batch for 5 lang groups. The gate's own
+      // claim (merge-tree-independent byte equality) makes the width an
+      // execution detail; 4 matches the 4-file replay.
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
       def sketchAggs = Seq(
         expr("ebf_agg(cast(doc_id as string))").as("ebf"),
         expr("hll_agg(cast(doc_id as string))").as("hll"),
@@ -655,6 +662,7 @@ object PipelineQueries {
         // O73: byte-stable by canonical hash-sorted wire order
         expr("sample_agg(cast(doc_id as string))").as("smp"))
       val qname = "graft_stream_eq_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
       val q = s.readStream.schema(staged.schema)
         .option("maxFilesPerTrigger", "1").parquet(tmp)
         .groupBy(col("lang")).agg(sketchAggs.head, sketchAggs.tail: _*)
@@ -677,6 +685,7 @@ object PipelineQueries {
               (col("a.smp") === col("b.smp")).as("sample_equal"))
             .orderBy("lang").collect().toSeq
         } finally {
+          s.conf.set("spark.sql.shuffle.partitions", prevParts)
           s.catalog.dropTempView(qname)
           graft.util.GraftFiles.deleteRecursively(tmp)
         }
