@@ -44,10 +44,29 @@ import org.apache.spark.sql.functions._
   */
 object AsofJoin {
 
+  /** @param timeBucket r6 hot-KEY skew repair (the "split hot keys
+    *   upstream by a coarse time bucket" this scaladoc documented):
+    *   a MONOTONE non-decreasing function of the unified time column
+    *   (passed as a column over `__t`, e.g.
+    *   `floor(col("__t") / 3600)`). When set, the running-last window
+    *   partitions by (keys, bucket) — a hot key's time-ordered view is
+    *   processed as parallel bucket slices — and each bucket's match is
+    *   repaired with the carry-in tail of the PREVIOUS buckets (the
+    *   standard windowed split: per (key, bucket) the last right row is
+    *   aggregated, a bucket-count-sized per-key window computes the
+    *   running tail, and a (keys, bucket) equi-join re-attaches it).
+    *   Row-identical to the unsplit path for ANY monotone bucketing
+    *   (AsofJoinSpec asserts it on a 500x-hot key): equal times share a
+    *   bucket, so the within-bucket ordering/tie rules are unchanged,
+    *   and a match not in the left row's bucket is exactly the latest
+    *   previous bucket tail. Cost: one extra bucket-granular aggregate
+    *   + small join; leave None when no key is hot enough to serialize
+    *   a partition. */
   def join(left: DataFrame, right: DataFrame, keys: Seq[String],
            leftTime: String, rightTime: String,
            direction: String = "backward",
-           tolerance: Option[Column] = None): DataFrame = {
+           tolerance: Option[Column] = None,
+           timeBucket: Option[Column => Column] = None): DataFrame = {
     require(keys.nonEmpty, "as-of join needs at least one equi-key")
     require(direction == "backward" || direction == "forward",
       s"direction must be backward|forward, got $direction")
@@ -85,10 +104,40 @@ object AsofJoin {
     val timeOrder =
       if (direction == "backward") Seq(col("__t").asc, col("__tag").asc, col("__r").asc)
       else Seq(col("__t").desc, col("__tag").asc, col("__r").asc)
-    val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(timeOrder: _*)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val matched0 = last(col("__r"), ignoreNulls = true).over(w)
+
+    val (unionedB, matched0) = timeBucket match {
+      case None =>
+        val w = Window.partitionBy(keys.map(col): _*)
+          .orderBy(timeOrder: _*)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        (unioned, last(col("__r"), ignoreNulls = true).over(w))
+      case Some(bucketOf) =>
+        // hot-key split: window per (keys, bucket) + carry-in repair
+        val withB = unioned.withColumn("__b", bucketOf(col("__t")))
+        val bCols = keys.map(col) :+ col("__b")
+        // both frames share one sort: running last within the bucket,
+        // and the bucket's final tail (same WindowExec, two frames)
+        val wRun = Window.partitionBy(bCols: _*).orderBy(timeOrder: _*)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wAll = Window.partitionBy(bCols: _*).orderBy(timeOrder: _*)
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        val inBucket = withB
+          .withColumn("__run", last(col("__r"), ignoreNulls = true).over(wRun))
+          .withColumn("__tail", last(col("__r"), ignoreNulls = true).over(wAll))
+        // bucket-granular tails -> running carry-in from previous
+        // buckets (bucket order follows the time direction); __tail is
+        // constant per (keys, bucket), so first() is deterministic
+        val bucketOrder =
+          if (direction == "backward") col("__b").asc else col("__b").desc
+        val wCarry = Window.partitionBy(keys.map(col): _*).orderBy(bucketOrder)
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val carry = inBucket.groupBy(bCols: _*)
+          .agg(first(col("__tail")).as("__tail"))
+          .withColumn("__carry", last(col("__tail"), ignoreNulls = true).over(wCarry))
+          .select((keys.map(col) :+ col("__b") :+ col("__carry")): _*)
+        val repaired = inBucket.join(carry, keys :+ "__b")
+        (repaired, coalesce(col("__run"), col("__carry")))
+    }
 
     val matched = tolerance match {
       case None => matched0
@@ -100,7 +149,7 @@ object AsofJoin {
         when(matched0.isNotNull && ok, matched0)
     }
 
-    val out = unioned
+    val out = unionedB
       .withColumn("__m", matched)
       .filter(col("__tag") === 1)
     val cols =

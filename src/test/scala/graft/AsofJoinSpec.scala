@@ -99,6 +99,51 @@ class AsofJoinSpec extends AnyFunSuite {
     assert(out(1).getLong(1) === 4L && out(1).getLong(2) === 200L)
   }
 
+  test("hot-key time-bucket split is row-identical to the unsplit path") {
+    import spark.implicits._
+    // one 500x-hot key ("hot") + two normal keys, random-ish times with
+    // deliberate duplicates so the tie rules are exercised across
+    // bucket boundaries; both directions and tolerance checked
+    val rnd = new scala.util.Random(0xA50FL)
+    val lRows = (1L to 500L).map(i => (i, "hot", (rnd.nextInt(100) * 2).toLong)) ++
+      Seq((1001L, "k1", 10L), (1002L, "k1", 55L), (1003L, "k2", 7L))
+    val rRows = (1L to 300L).map(i => ("hot", (rnd.nextInt(100) * 2).toLong, 9000L + i)) ++
+      Seq(("k1", 10L, 1L), ("k1", 40L, 2L), ("k3", 5L, 3L))
+    val l = lRows.toDF("id", "k", "t").repartition(5)
+    val r = rRows.toDF("k", "rt", "p").repartition(3)
+    val bucket = (t: org.apache.spark.sql.Column) => floor(t / 25L)
+    for (dir <- Seq("backward", "forward");
+         tol <- Seq(None, Some(lit(30L)))) {
+      val plain = AsofJoin.join(l, r, Seq("k"), "t", "rt", dir, tol)
+        .collect().map(_.toSeq).toSet
+      val split = AsofJoin.join(l, r, Seq("k"), "t", "rt", dir, tol,
+          timeBucket = Some(bucket))
+        .collect().map(_.toSeq).toSet
+      assert(split === plain, s"direction=$dir tolerance=$tol")
+    }
+  }
+
+  test("time-bucket split actually breaks the hot key into bounded slices") {
+    import spark.implicits._
+    // the repair's partition key is (k, bucket): with 8 buckets the
+    // biggest window slice must be far below the hot key's total rows
+    val lRows = (1L to 800L).map(i => (i, "hot", i % 200))
+    val l = lRows.toDF("id", "k", "t")
+    val r = Seq(("hot", 3L, 1L)).toDF("k", "rt", "p")
+    val bucketOf = (t: org.apache.spark.sql.Column) => floor(t / 25L)
+    // same unified shape the join builds: every (k, bucket) slice holds
+    // <= 25 distinct times of the 200 -> max slice ~1/8 of the key
+    val sliceMax = l.select(col("k"), bucketOf(col("t")).as("b"))
+      .groupBy("k", "b").count().agg(max("count")).head.getLong(0)
+    assert(sliceMax <= 110L, s"max slice $sliceMax")
+    // and the split path still returns one row per left row
+    val out = AsofJoin.join(l, r, Seq("k"), "t", "rt",
+      timeBucket = Some(bucketOf))
+    assert(out.count() === 800L)
+    // t = i % 200 -> 12 rows carry t < 3 and stay unmatched (rt = 3)
+    assert(out.filter(col("p").isNotNull).count() === 788L)
+  }
+
   test("column collision between sides is refused loudly") {
     import spark.implicits._
     val l = Seq((1L, "x", 10L)).toDF("id", "k", "t")
