@@ -31,14 +31,35 @@ object Multimodal {
     else m.map(x => f"${x & 0xff}%02x").mkString
   }
 
-  /** Metadata extraction: size, magic-byte sniff, content hash. */
-  val binaryMetaUdf = udf((b: Array[Byte]) => {
+  /** Metadata extraction: size, magic-byte sniff, content hash.
+    * r6: kept ONLY as the spec reference for the built-in composition
+    * below (MultimodalMetaSpec asserts row-identical output) — this was
+    * the literal "UDF where a built-in exists" case. */
+  private[graft] val binaryMetaUdf = udf((b: Array[Byte]) => {
     if (b == null) null
     else {
       val md = java.security.MessageDigest.getInstance("SHA-256")
       BinaryMeta(b.length, sniffMagic(b), md.digest(b).map(x => f"${x & 0xff}%02x").mkString)
     }
   })
+
+  /** [[binaryMetaUdf]] as pure codegen'd built-ins: length / sha2 /
+    * hex(substring(..,1,4)) + CASE — no UDF boundary, no byte-array
+    * copy out of the internal row. Identical struct (field order,
+    * null-for-null, the "short" sentinel, lowercase hex fallback). */
+  private def binaryMetaBuiltin(c: Column): Column = {
+    val h4 = hex(substring(c, 1, 4)) // uppercase hex of the first 4 bytes
+    val magic = when(length(c) < 4, lit("short"))
+      .when(h4 === "89504E47", "png")
+      .when(substring(h4, 1, 4) === "FFD8", "jpeg")
+      .when(h4 === "52494646", "riff")
+      .when(h4.isin("3C68746D", "3C48544D", "3C21646F"), "html")
+      .otherwise(lower(h4))
+    when(c.isNotNull, struct(
+      length(c).cast("int").as("n_bytes"),
+      magic.as("magic"),
+      sha2(c, 256).as("sha256")))
+  }
 
   /** STUB for media decode + feature extraction: a real implementation
     * would decode the image/audio and run a feature extractor; this
@@ -71,7 +92,7 @@ object Multimodal {
   })
 
   /** Column helpers. */
-  def binaryMeta(c: Column): Column = binaryMetaUdf(c)
+  def binaryMeta(c: Column): Column = binaryMetaBuiltin(c)
   def decodeFeatures(c: Column): Column = fakeDecodeFeaturesUdf(c)
   def frameSample(c: Column, n: Int): Column = frameSampleUdf(c, lit(n))
 

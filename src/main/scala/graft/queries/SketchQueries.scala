@@ -176,12 +176,15 @@ object SketchQueries {
     "cms_overestimate_check" -> { (s, dir) =>
       Graft.ensure(s)
       val t = tokens(s, dir)
-      val cms = Cms.fromBytes(t.select(expr("cms_agg(token)")).head.getAs[Array[Byte]](0))
+      val skBytes = t.select(expr("cms_agg(token)")).head.getAs[Array[Byte]](0)
+      val cms = Cms.fromBytes(skBytes)
       val eps = cms.eps
       val total = cms.total
-      val est = udf((tok: String) => cms.estimate(tok))
+      // r6: X'..' literal-sketch probe (the O23 rewrite path) instead
+      // of a driver-local closure UDF — same Long estimates, codegen'd
+      val hexSk = skBytes.map(x => f"$x%02x").mkString
       t.groupBy(col("token")).agg(count(lit(1)).as("exact"))
-        .withColumn("est", est(col("token")))
+        .withColumn("est", expr(s"cms_estimate(X'$hexSk', token)"))
         .select(col("token"),
           (col("est") >= col("exact")).as("over"),
           (col("est") <= col("exact") + lit(eps * total) + lit(1.0)).as("within_eps"))
@@ -249,14 +252,15 @@ object SketchQueries {
     "cs_point_check" -> { (s, dir) =>
       Graft.ensure(s)
       val t = tokens(s, dir)
-      val cs = CountSketch.fromBytes(
-        t.select(expr("cs_agg(token)")).head.getAs[Array[Byte]](0))
+      val csBytes = t.select(expr("cs_agg(token)")).head.getAs[Array[Byte]](0)
+      val cs = CountSketch.fromBytes(csBytes)
       val f2 = t.groupBy("token").count()
         .agg(sum(col("count") * col("count"))).head.getLong(0)
       val bound = 3.0 * math.sqrt(f2.toDouble / cs.width)
-      val est = udf((tok: String) => cs.estimate(tok))
+      // r6: literal-sketch probe instead of a driver-local closure UDF
+      val hexCs = csBytes.map(x => f"$x%02x").mkString
       t.groupBy(col("token")).agg(count(lit(1)).as("exact"))
-        .withColumn("est", est(col("token")))
+        .withColumn("est", expr(s"cs_estimate(X'$hexCs', token)"))
         .select(col("token"), col("exact"),
           (abs(col("est") - col("exact")) <= lit(bound)).as("within_bound"))
         .orderBy("token")
@@ -709,10 +713,12 @@ object SketchQueries {
         .withColumn("change", col("late") - col("early"))
       val f2delta = exact.agg(sum(col("change") * col("change"))).head.getLong(0)
       val bound = 3.0 * math.sqrt(f2delta.toDouble / delta.width)
-      val est = udf((t: String) => delta.estimate(t))
+      // r6: literal-sketch probe instead of a driver-local closure UDF
+      val hexDelta = delta.toBytes.map(x => f"$x%02x").mkString
       exact.orderBy(abs(col("change")).desc, col("token").asc).limit(20)
         .select(col("token"), col("early"), col("late"), col("change"),
-          (abs(est(col("token")) - col("change")) <= lit(bound)).as("within_bound"))
+          (abs(expr(s"cs_estimate(X'$hexDelta', token)") - col("change")) <= lit(bound))
+            .as("within_bound"))
         .orderBy(abs(col("change")).desc, col("token").asc)
     },
 
@@ -814,12 +820,42 @@ object SketchQueries {
       val steps = d.groupBy(col("v")).agg(
         sum(when(col("h") === 0, 1L).otherwise(0L)).as("c0"),
         sum(when(col("h") === 1, 1L).otherwise(0L)).as("c1"))
+      // r6: the exact-CDF anchor used Window.orderBy(v) with no
+      // partition — a single-partition cumulative sum whose task grows
+      // with the distinct-value grid at 100x. Range-partitioned
+      // two-pass CDF instead: KLL-derived value buckets (the sketches
+      // are already in hand — their merge bounds the full distribution),
+      // per-bucket partial sums collected as a BOUNDED P-row artifact,
+      // and the within-bucket running sum adds the prefix offset of the
+      // earlier buckets. Integer counts make the split exact: same f0/
+      // f1 to the last bit, same KS. No single-partition WindowExec.
       val tot = steps.agg(sum(col("c0")), sum(col("c1"))).head
       val (n0, n1) = (tot.getLong(0).toDouble, tot.getLong(1).toDouble)
-      val w = org.apache.spark.sql.expressions.Window.orderBy("v")
-      val r = steps.select(col("v"),
-          (sum(col("c0")).over(w) / lit(n0)).as("f0"),
-          (sum(col("c1")).over(w) / lit(n1)).as("f1"),
+      val numRanges = 16
+      val merged = Kll.fromBytes(a.toBytes).merge(b)
+      val bs = graft.pipeline.RangePartition.boundaries(merged, numRanges)
+      val stepsB = steps.withColumn("__b",
+        graft.pipeline.RangePartition.bucketCol(col("v"), bs))
+      val bucketSums = stepsB.groupBy(col("__b"))
+        .agg(sum(col("c0")).as("s0"), sum(col("c1")).as("s1"))
+        .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val off0 = new Array[Long](numRanges)
+      val off1 = new Array[Long](numRanges)
+      var acc0 = 0L
+      var acc1 = 0L
+      for (i <- 0 until numRanges) {
+        off0(i) = acc0
+        off1(i) = acc1
+        acc0 += bucketSums.get(i).map(_._1).getOrElse(0L)
+        acc1 += bucketSums.get(i).map(_._2).getOrElse(0L)
+      }
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("__b")).orderBy("v")
+      val r = stepsB.select(col("v"),
+          ((sum(col("c0")).over(w) +
+            element_at(typedLit(off0.toSeq), col("__b") + 1)) / lit(n0)).as("f0"),
+          ((sum(col("c1")).over(w) +
+            element_at(typedLit(off1.toSeq), col("__b") + 1)) / lit(n1)).as("f1"),
           expr(s"kll_rank(X'$hexA', v)").as("ra"),
           expr(s"kll_rank(X'$hexB', v)").as("rb"))
         .agg(max(abs(col("f0") - col("f1"))).as("ks_exact"),
