@@ -21,10 +21,16 @@ import graft.pipeline.Flagship
   * Usage:
   *   spark-submit --master local[N] --class graft.SubmitMain \
   *     target/scala-2.13/elasticbloomfilterspark_2.13-0.1.0.jar \
-  *     <rows> [warmupRows] [nProbes]
+  *     <rows> [warmupRows] [nProbes] [tableDir]
+  *
+  * `tableDir` (default `/root/repo/data/webpages`, the sandbox
+  * location) is where the generated tables live; on a real cluster
+  * pass a path on the cluster's shared filesystem (the existence
+  * check and the write both go through the Hadoop FileSystem API, so
+  * any `fs.defaultFS`-resolvable URI works).
   *
   * Generates (once, untimed, reused across submits) a deterministic
-  * web-pages table at data/webpages/bench_<rows>, runs one untimed
+  * web-pages table at tableDir/bench_<rows>, runs one untimed
   * warmup flagship pass on a smaller table, then the timed flagship
   * build (per-host sketches + CMS tokens + global sharded EBF) and
   * prints ONE JSON line with the master, throughput and FPR evidence.
@@ -34,7 +40,11 @@ object SubmitMain {
     val rows = args.headOption.map(_.toLong).getOrElse(8000000L)
     val warmupRows = args.lift(1).map(_.toLong).getOrElse(2000000L)
     val nProbes = args.lift(2).map(_.toLong).getOrElse(1000000L)
+    val tableDir = args.lift(3).getOrElse("/root/repo/data/webpages")
     val trials = sys.env.getOrElse("SPARK_GRAFT_TRIALS", "3").toInt
+    require(trials >= 1,
+      s"SPARK_GRAFT_TRIALS must be >= 1 (got $trials): with zero trials the " +
+        "expensive generation+warmup would run and then maxBy would throw")
 
     val builder = SparkSession.builder()
       .appName(s"graft-submit-$rows")
@@ -48,13 +58,16 @@ object SubmitMain {
     spark.sparkContext.setLogLevel("WARN")
     val master = spark.sparkContext.master
     // shuffle width follows the submitted cluster unless the submitter
-    // set it explicitly (spark-submit --conf spark.sql.shuffle.partitions=...)
-    if (spark.conf.getOption("spark.sql.shuffle.partitions").forall(_ == "200"))
+    // set it explicitly (spark-submit --conf spark.sql.shuffle.partitions=...).
+    // The submit-time conf is what records an explicit choice — the
+    // runtime getOption returns the "200" default even when unset, so
+    // comparing against it would silently override an explicit =200.
+    if (!spark.sparkContext.getConf.contains("spark.sql.shuffle.partitions"))
       spark.conf.set("spark.sql.shuffle.partitions",
         spark.sparkContext.defaultParallelism.toString)
 
-    val benchPath = s"/root/repo/data/webpages/bench_$rows"
-    val warmupPath = s"/root/repo/data/webpages/warmup_$warmupRows"
+    val benchPath = s"$tableDir/bench_$rows"
+    val warmupPath = s"$tableDir/warmup_$warmupRows"
     WebPagesGen.ensureTable(spark, benchPath, rows, numHosts = 10000)
     WebPagesGen.ensureTable(spark, warmupPath, warmupRows, numHosts = 10000)
 

@@ -154,11 +154,17 @@ object WebPagesGen {
     }
   }
 
-  /** Write (or reuse) the parquet table, partitioned by lang. */
+  /** Write (or reuse) the parquet table, partitioned by lang. The
+    * reuse check goes through the Hadoop FileSystem API so it resolves
+    * against the same (possibly distributed) filesystem the write
+    * targets — a driver-local java.io.File check would silently
+    * re-generate on any cluster whose storage is not the driver's
+    * local disk. */
   def ensureTable(spark: SparkSession, path: String, n: Long,
                   numHosts: Int = 10000): String = {
-    val done = new java.io.File(path, "_SUCCESS")
-    if (!done.exists()) {
+    val done = new org.apache.hadoop.fs.Path(path, "_SUCCESS")
+    val fs = done.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(done)) {
       dataset(spark, n, numHosts)
         .write.mode(SaveMode.Overwrite)
         // zstd over snappy: the 32M-row table shrinks 21 -> 13 GB,
