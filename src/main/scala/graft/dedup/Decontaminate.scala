@@ -31,7 +31,15 @@ import org.apache.spark.sql.functions._
 object Decontaminate {
 
   /** Distinct n-token shingles per document: (idCol, shingle). */
-  def shingleSet(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+  def shingleSet(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    rawShingles(df, idCol, textCol, n).distinct()
+
+  /** All n-token shingle occurrences per document, repeats included —
+    * the map-only stream the contamination joins consume. Deduping this
+    * stream costs a full shuffle of every corpus shingle; the joins
+    * instead dedup AFTER the (broadcast/EBF-pruned) match, where only
+    * contamination-sized survivors remain. */
+  private def rawShingles(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     require(n >= 1, "shingle size must be positive")
     df.select(col(idCol), split(lower(trim(col(textCol))), "\\s+").as("__toks"))
       .filter(size(col("__toks")) >= n)
@@ -40,7 +48,6 @@ object Decontaminate {
       .select(col(idCol), explode(expr(
         s"transform(sequence(1, size(__toks) - ${n - 1}), i -> concat_ws(' ', slice(__toks, i, $n)))"))
         .as("shingle"))
-      .distinct()
   }
 
   /** Contaminated (corpus doc, benchmark doc) pairs with shared-shingle
@@ -52,12 +59,17 @@ object Decontaminate {
                         textCol: String, n: Int): DataFrame = {
     require(corpusId != benchId,
       s"corpus and benchmark id columns must differ (both '$corpusId')")
-    val cs = shingleSet(corpus, corpusId, textCol, n)
+    // Corpus shingles flow repeats-and-all into the broadcast join;
+    // per-doc dedup runs on the join survivors (count DISTINCT, whose
+    // map-side partial dedups before the exchange), so the one shuffle
+    // carries matched triples — actual contamination — instead of
+    // every distinct corpus shingle.
+    val cs = rawShingles(corpus, corpusId, textCol, n)
     val bs = shingleSet(benchmark, benchId, textCol, n)
     val bTot = bs.groupBy(benchId).agg(count(lit(1)).as("n_bench_shingles"))
     cs.join(broadcast(bs), "shingle")
       .groupBy(corpusId, benchId)
-      .agg(count(lit(1)).as("n_shared"))
+      .agg(countDistinct(col("shingle")).as("n_shared"))
       .join(broadcast(bTot), benchId)
       .select(col(corpusId), col(benchId), col("n_shared"), col("n_bench_shingles"))
   }
@@ -86,14 +98,18 @@ object Decontaminate {
                               textCol: String, n: Int): DataFrame = {
     require(corpusId != benchId,
       s"corpus and benchmark id columns must differ (both '$corpusId')")
-    val cs = shingleSet(corpus, corpusId, textCol, n)
+    // Same repeats-through-the-filter shape as the plain path: the EBF
+    // probe is map-only, so probing duplicate occurrences is far
+    // cheaper than the corpus-wide distinct shuffle it replaces; the
+    // count-DISTINCT dedups the contamination-sized survivors.
+    val cs = rawShingles(corpus, corpusId, textCol, n)
     val bs = shingleSet(benchmark, benchId, textCol, n)
     val pruned = graft.pipeline.JoinPrune.prunedFact(
       cs, cs("shingle"), graft.pipeline.JoinPrune.buildFilter(bs, bs("shingle")))
     val bTot = bs.groupBy(benchId).agg(count(lit(1)).as("n_bench_shingles"))
     pruned.join(bs, "shingle")
       .groupBy(corpusId, benchId)
-      .agg(count(lit(1)).as("n_shared"))
+      .agg(countDistinct(col("shingle")).as("n_shared"))
       .join(bTot, benchId)
       .select(col(corpusId), col(benchId), col("n_shared"), col("n_bench_shingles"))
   }

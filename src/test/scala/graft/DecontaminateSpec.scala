@@ -81,6 +81,19 @@ class DecontaminateSpec extends AnyFunSuite {
     assert(plain.nonEmpty)
   }
 
+  test("repeated shingles in a corpus doc count once (post-join dedup)") {
+    // "a b" appears 3x in doc 1 and the bench doc shares it: n_shared
+    // must be 1, not 3 — pins the countDistinct that replaced the
+    // corpus-wide pre-join distinct
+    val corpus = df(Seq((1L, "a b a b a b c")), "doc_id")
+    val bench = df(Seq((2L, "a b z")), "bench_id") // shingles: "a b", "b z"
+    assert(pairs(corpus, bench, 2) === Map((1L, 2L) -> (1L, 2L)))
+    val viaEbf = Decontaminate.contaminatedPairsViaEbf(
+        corpus, "doc_id", bench, "bench_id", "text", 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(viaEbf === Map((1L, 2L) -> (1L, 2L)))
+  }
+
   test("no match below shingle length, exact-n match at the boundary") {
     val corpus = df(Seq((1L, "p q r s")), "doc_id")
     val benchShort = df(Seq((2L, "q r s")), "bench_id")      // 3 < n -> no shingles
