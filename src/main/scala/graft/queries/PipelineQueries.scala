@@ -576,20 +576,25 @@ object PipelineQueries {
         // false negatives: exact per-file min/max can't exclude a
         // file holding a band row, so an empty candidate set means an
         // empty band)
+        // sum over an EMPTY band is NULL (SQL semantics, what the
+        // oracle's round(sum(..), 2) yields), not 0.0 — and getDouble
+        // on that null would NPE, so carry it as an Option
         val (nBand, sumBand) =
-          if (z2d.isEmpty) (0L, 0.0)
+          if (z2d.isEmpty) (0L, None: Option[Double])
           else {
             val band = s.read.schema(s.read.parquet(tmpZ).schema)
               .parquet(z2d.map(_._1).toIndexedSeq: _*)
               .filter(col("o_custkey").between(cLo, cHi) &&
                 col("o_totalprice").between(pLo, pHi))
               .agg(count(lit(1)).as("n"), sum("o_totalprice").as("sp")).head
-            (band.getLong(0), band.getDouble(1))
+            (band.getLong(0),
+              if (band.isNullAt(1)) None else Some(band.getDouble(1)))
           }
         val nConserved = s.read.parquet(tmpZ).count()
         s.range(1).select(
           lit(nBand).as("n_band"),
-          round(lit(sumBand), 2).as("sum_band"),
+          sumBand.map(v => round(lit(v), 2))
+            .getOrElse(lit(null).cast("double")).as("sum_band"),
           lit(nConserved == nIn).as("rows_conserved"),
           lit(z2d.length < zs.length).as("z_files_pruned_2d"),
           lit(zP.length < zs.length).as("z_prunes_price_dim"),

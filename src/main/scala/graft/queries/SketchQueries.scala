@@ -977,7 +977,10 @@ object SketchQueries {
       s.range(1).select(
         lit(exact).as("exact_orderkeys"),
         lit(math.abs(t.estimate / exact - 1.0) <= 4 * t.rse).as("within_bound"),
-        lit(t.retained == Theta.DefaultK).as("at_capacity"))
+        // scale-aware retention invariant: k smallest hashes at/above
+        // capacity, EVERY distinct hash below it (ndv < k at sf0.001)
+        lit(t.retained.toLong == math.min(Theta.DefaultK.toLong, exact))
+          .as("at_capacity"))
     },
 
     // the composed analytical use of theta set algebra: day-over-day
